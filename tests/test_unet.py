@@ -1,0 +1,91 @@
+"""UNet structure/behavior tests (tiny geometry for CPU speed)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbe_tpu.models.unet import UNetConfig, UNetModel, timestep_embedding
+
+TINY = dict(
+    in_channels=9, model_channels=16, out_channels=4, num_res_blocks=1,
+    attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=2,
+    context_dim=12,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    unet = UNetModel(**TINY)
+    x = jnp.zeros((1, 8, 8, 9))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, TINY["context_dim"]))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    return unet, params
+
+
+def test_output_shape(tiny_unet):
+    unet, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 9))
+    t = jnp.asarray([10, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, TINY["context_dim"]))
+    eps = unet.apply(params, x, t, ctx)
+    assert eps.shape == (2, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(eps)))
+
+
+def test_zero_init_output_conv(tiny_unet):
+    """The final conv is zero-initialized (openaimodel.py:824-828), so a
+    freshly initialized UNet predicts exactly zero eps."""
+    unet, params = tiny_unet
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 9))
+    eps = unet.apply(params, x, jnp.asarray([3]), jnp.ones((1, 1, TINY["context_dim"])))
+    np.testing.assert_allclose(np.asarray(eps), 0.0)
+
+
+def test_timestep_dependence(tiny_unet):
+    unet, params = tiny_unet
+    # perturb the zero-init out conv so outputs are non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(0).standard_normal(p.shape), params
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 9))
+    ctx = jnp.ones((1, 1, TINY["context_dim"]))
+    e1 = unet.apply(params, x, jnp.asarray([1]), ctx)
+    e2 = unet.apply(params, x, jnp.asarray([900]), ctx)
+    assert float(jnp.abs(e1 - e2).max()) > 0
+
+
+def test_context_dependence(tiny_unet):
+    unet, params = tiny_unet
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(0).standard_normal(p.shape), params
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 9))
+    t = jnp.asarray([100])
+    e1 = unet.apply(params, x, t, jnp.ones((1, 1, TINY["context_dim"])))
+    e2 = unet.apply(params, x, t, -jnp.ones((1, 1, TINY["context_dim"])))
+    assert float(jnp.abs(e1 - e2).max()) > 0
+
+
+def test_timestep_embedding_cos_sin_order():
+    """[cos, sin] concat order (diffusionmodules/util.py:160-168)."""
+    emb = timestep_embedding(jnp.asarray([0.0]), 8)
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), 1.0)  # cos(0)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), 0.0)  # sin(0)
+
+
+def test_v1_config_builds():
+    unet = UNetConfig().build()
+    assert unet.in_channels == 9 and unet.model_channels == 320
+    assert unet.channel_mult == (1, 2, 4, 4)
+    assert unet.attention_resolutions == (4, 2, 1)
+
+
+def test_param_tree_has_reference_block_names(tiny_unet):
+    _, params = tiny_unet
+    keys = set(params["params"].keys())
+    assert "input_blocks_0_0" in keys
+    assert "middle_block_0" in keys and "middle_block_1" in keys
+    assert "out_2" in keys and "time_embed_0" in keys
+    # tiny config: 1 res block, 2 levels -> input 0..3 (conv, res+attn, down, res+attn)
+    assert "input_blocks_3_1" in keys
