@@ -1,0 +1,11 @@
+from pbe_tpu.convert.torch_ckpt import (
+    convert_state_dict,
+    load_torch_checkpoint,
+    convert_clip_vision_state_dict,
+)
+
+__all__ = [
+    "convert_state_dict",
+    "load_torch_checkpoint",
+    "convert_clip_vision_state_dict",
+]
