@@ -1,0 +1,187 @@
+"""Training-step tests: partition correctness, LR schedule values, loss
+decrease, EMA semantics, and an 8-virtual-device data-parallel pjit run —
+the hardware-free distributed test the reference never had (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
+from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.models.unet import UNetConfig
+from pbe_tpu.models.vae import AutoencoderKLConfig
+from pbe_tpu.parallel import batch_sharding, make_mesh, replicated, zero_shard_opt_state
+from pbe_tpu.training.ema import ema_init, ema_update
+from pbe_tpu.training.lr_schedule import LambdaLinearScheduler
+from pbe_tpu.training.partition import is_trainable, merge_params, split_params
+from pbe_tpu.training.train_step import (
+    create_train_state,
+    default_scheduler,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _tiny_model():
+    return PaintByExample(
+        unet_config=UNetConfig(
+            model_channels=8, channel_mult=(1, 2), num_res_blocks=1,
+            attention_resolutions=(1,), num_heads=2, context_dim=768,
+            use_checkpoint=False,
+        ),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": 16},
+            embed_dim=4,
+        ),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1, num_heads=4,
+                                  mlp_dim=32, patch_size=8, image_size=16),
+            mapper_layers=1,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((1, 16, 16, 3)), jnp.ones((1, 16, 16, 1)),
+        jnp.zeros((1, 16, 16, 3)), rng,
+        method=PaintByExample.initialize_all,
+    )
+    return model, variables
+
+
+def _batch(b=8, h=16):
+    g = np.random.default_rng(0)
+    image = jnp.asarray(g.uniform(-1, 1, (b, h, h, 3)), jnp.float32)
+    mask = jnp.ones((b, h, h, 1)).at[:, 4:12, 4:12, :].set(0.0)
+    return {
+        "image": image,
+        "inpaint_image": image * mask,
+        "mask": mask,
+        "ref": jnp.asarray(g.standard_normal((b, 16, 16, 3)), jnp.float32),
+    }
+
+
+def test_partition_matches_reference_trainables(model_and_vars):
+    _, variables = model_and_vars
+    train, frozen = split_params(variables["params"])
+    assert set(train.keys()) >= {"model", "proj_out", "learnable_vector"}
+    assert "first_stage_model" in frozen and "first_stage_model" not in train
+    cond_t = train.get("cond_stage_model", {})
+    assert "final_ln" in cond_t
+    assert any(k.startswith("mapper_resblocks") for k in cond_t)
+    assert "transformer" not in cond_t  # frozen CLIP trunk
+    merged = merge_params(train, frozen)
+    assert jax.tree.structure(merged) == jax.tree.structure(variables["params"])
+
+
+def test_lambda_linear_schedule_v1_values():
+    s = default_scheduler()
+    np.testing.assert_allclose(float(s(0)), 1e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(s(5000)), 0.5, rtol=1e-3)
+    np.testing.assert_allclose(float(s(10000)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(s(1_000_000)), 1.0, rtol=1e-4)
+
+
+def test_ema_warmup_decay():
+    params = {"w": jnp.zeros((4,))}
+    st = ema_init(params)
+    st = ema_update(st, {"w": jnp.ones((4,))})
+    # decay = min(.9999, 2/11); shadow = 0 - (1-d)(0-1) = 1-d
+    want = 1 - min(0.9999, 2 / 11)
+    np.testing.assert_allclose(np.asarray(st.shadow["w"]), want, rtol=1e-6)
+
+
+def test_train_step_decreases_loss(model_and_vars):
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=2e-3, scheduler=lambda n: jnp.asarray(1.0))
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    batch = _batch(b=4)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_frozen_params_never_change(model_and_vars):
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=1e-2, scheduler=lambda n: jnp.asarray(1.0))
+    state = create_train_state(model, variables, tx)
+    frozen_before = jax.tree.map(np.asarray, state.frozen)
+    step = jax.jit(make_train_step(model, tx))
+    state, _ = step(state, _batch(b=2), jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(frozen_before), jax.tree.leaves(state.frozen)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_data_parallel_8dev_matches_single_device(model_and_vars):
+    """pjit DP on the virtual 8-CPU mesh: metrics equal the single-device run
+    (same global batch, replicated params; XLA inserts the grad psum)."""
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=1e-3, scheduler=lambda n: jnp.asarray(1.0))
+    state = create_train_state(model, variables, tx)
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+    step_fn = make_train_step(model, tx)
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state, batch, rng)
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    state_sh = jax.tree.map(lambda _: repl, state)
+    batch_sh = jax.tree.map(lambda _: bsh, batch)
+    state_d = jax.device_put(state, state_sh)
+    batch_d = jax.device_put(batch, batch_sh)
+    step_dp = jax.jit(step_fn, in_shardings=(state_sh, batch_sh, repl))
+    s8, m8 = step_dp(state_d, batch_d, rng)
+    np.testing.assert_allclose(
+        float(m8["loss"]), float(m1["loss"]), rtol=2e-4
+    )
+    # params also match
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_zero_sharded_opt_state_runs(model_and_vars):
+    """ZeRO-style optimizer-state sharding on the 8-device mesh."""
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=1e-3, scheduler=lambda n: jnp.asarray(1.0))
+    state = create_train_state(model, variables, tx)
+    mesh = make_mesh()
+    repl = replicated(mesh)
+    opt_sh = zero_shard_opt_state(state.opt_state, mesh, min_size=1024)
+    # at least one big leaf actually got sharded
+    specs = {s.spec for s in jax.tree.leaves(opt_sh)}
+    assert any(spec != P() for spec in specs)
+    state_sh = TrainStateShardings = state.replace(
+        step=repl,
+        params=jax.tree.map(lambda _: repl, state.params),
+        frozen=jax.tree.map(lambda _: repl, state.frozen),
+        opt_state=opt_sh,
+        ema=None,
+    )
+    batch = _batch(b=8)
+    bsh = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    step_fn = jax.jit(
+        make_train_step(model, tx), in_shardings=(state_sh, bsh, repl),
+        out_shardings=(state_sh, repl),
+    )
+    state_d = jax.device_put(state, state_sh)
+    batch_d = jax.device_put(batch, bsh)
+    s2, metrics = step_fn(state_d, batch_d, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
