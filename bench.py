@@ -1,0 +1,70 @@
+"""Headline benchmark: 512^2 exemplar-guided edits/sec/chip at 50-step PLMS.
+
+Runs the full edit program (VAE encode + CLIP encode + 50-step CFG PLMS scan
++ VAE decode) on one chip in bf16 with the production v1 geometry (randomly
+initialized weights — identical FLOPs/memory to trained ones).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": edits/sec/chip, "unit": "edits/s",
+   "vs_baseline": baseline_latency(1.5s) / measured_latency}
+vs_baseline > 1 beats the BASELINE.md target of <1.5 s / 50-step edit.
+"""
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_LATENCY_S = 1.5  # BASELINE.md: 50-step 512^2 edit p50 target on v5e
+STEPS = 50
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbe_tpu.models.pbe import PaintByExampleConfig
+    from pbe_tpu.pipelines.inference import EditPipeline
+    from pbe_tpu.pipelines.loading import init_variables
+
+    model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl="xla")
+    with contextlib.redirect_stdout(io.StringIO()):
+        variables = init_variables(model, seed=0)
+        pipeline = EditPipeline(model, variables)
+
+        g = np.random.default_rng(0)
+        image = g.uniform(-1, 1, (BATCH, 512, 512, 3)).astype(np.float32)
+        mask = np.ones((BATCH, 512, 512, 1), np.float32)
+        mask[:, 128:384, 128:384, :] = 0.0
+        ref = g.standard_normal((BATCH, 224, 224, 3)).astype(np.float32)
+
+        kw = dict(steps=STEPS, scale=5.0, sampler="plms", seed=321)
+        pipeline.edit_batch(image, mask, ref, **kw)  # compile + warm
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = pipeline.edit_batch(image, mask, ref, **kw)
+            times.append(time.perf_counter() - t0)
+        assert np.isfinite(out).all()
+
+    p50 = float(np.median(times))
+    latency_per_edit = p50 / BATCH
+    print(json.dumps({
+        "metric": "512^2 edits/sec/chip (50-step PLMS, bf16, batch "
+                  f"{BATCH})",
+        "value": round(BATCH / p50, 4),
+        "unit": "edits/s",
+        "vs_baseline": round(BASELINE_LATENCY_S / latency_per_edit, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Training-mask generation: bbox masks and arbitrary Bézier-blob masks.
+
+The upstream PBE training pipeline (deleted mid-refactor in the reference;
+spec reconstructed from configs/v1.yaml:84 ``arbitrary_mask_percent: 0.5``,
+the ``bezier`` dependency in environment.yaml:15, and the paper's
+"arbitrarily shaped mask" description) draws, per example:
+  * with p = 1 - arbitrary_mask_percent: the object's bbox as the mask,
+  * otherwise: a random smooth blob around the bbox built from Bézier
+    segments through jittered points on the bbox perimeter.
+
+Bézier evaluation is closed-form polynomial (SURVEY.md section 2 note) — no
+compiled extension needed. Rasterization uses PIL polygon fill (host side).
+
+Convention: returned masks are (H, W, 1) float32 with **1 = edit region**
+(dataset-level); the model-level "keep" mask is 1 - this (see
+pbe_tpu.data.openimages).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+def bezier_curve(points: np.ndarray, n: int = 24) -> np.ndarray:
+    """Evaluate a Bézier curve of arbitrary degree at n parameters.
+
+    points: (K, 2) control points. Returns (n, 2). De Casteljau-free
+    closed form via the Bernstein basis.
+    """
+    k = points.shape[0] - 1
+    t = np.linspace(0.0, 1.0, n)[:, None]  # (n,1)
+    # binomial coefficients
+    binom = np.array([math.comb(k, i) for i in range(k + 1)], np.float64)
+    i = np.arange(k + 1)[None, :]
+    basis = binom[None, :] * (t**i) * ((1 - t) ** (k - i))  # (n, K)
+    return basis @ points
+
+
+def bbox_mask(h: int, w: int, bbox: tuple[float, float, float, float]) -> np.ndarray:
+    """bbox (x1, y1, x2, y2) -> (H, W, 1) mask, 1 inside the box."""
+    x1, y1, x2, y2 = bbox
+    m = np.zeros((h, w), np.float32)
+    m[int(round(y1)):int(round(y2)), int(round(x1)):int(round(x2))] = 1.0
+    return m[..., None]
+
+
+def arbitrary_blob_mask(
+    h: int,
+    w: int,
+    bbox: tuple[float, float, float, float],
+    rng: np.random.Generator,
+    n_anchors: int = 8,
+    jitter: float = 0.25,
+    expand: float = 0.15,
+) -> np.ndarray:
+    """Random smooth blob covering roughly the bbox region.
+
+    Anchors are placed on an ellipse circumscribing the (slightly expanded)
+    bbox with radial jitter; consecutive anchors are joined by quadratic
+    Bézier segments whose control point is jittered outward, then the closed
+    contour is filled.
+    """
+    x1, y1, x2, y2 = bbox
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    rx = (x2 - x1) / 2 * (1 + expand)
+    ry = (y2 - y1) / 2 * (1 + expand)
+    rx = max(rx, 2.0)
+    ry = max(ry, 2.0)
+
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n_anchors))
+    radii = 1.0 + rng.uniform(-jitter, jitter, n_anchors)
+    ax = cx + rx * radii * np.cos(angles)
+    ay = cy + ry * radii * np.sin(angles)
+    anchors = np.stack([ax, ay], axis=1)
+
+    contour: list[np.ndarray] = []
+    for i in range(n_anchors):
+        p0 = anchors[i]
+        p1 = anchors[(i + 1) % n_anchors]
+        mid = (p0 + p1) / 2
+        out_dir = mid - np.array([cx, cy])
+        norm = np.linalg.norm(out_dir)
+        if norm > 1e-6:
+            out_dir = out_dir / norm
+        ctrl = mid + out_dir * rng.uniform(-jitter, jitter) * max(rx, ry)
+        contour.append(bezier_curve(np.stack([p0, ctrl, p1]), n=16)[:-1])
+    poly = np.concatenate(contour, axis=0)
+    poly[:, 0] = np.clip(poly[:, 0], 0, w - 1)
+    poly[:, 1] = np.clip(poly[:, 1], 0, h - 1)
+
+    img = Image.new("L", (w, h), 0)
+    ImageDraw.Draw(img).polygon([tuple(p) for p in poly.tolist()], fill=255)
+    return (np.asarray(img, np.float32) / 255.0 >= 0.5).astype(np.float32)[..., None]
+
+
+def training_mask(
+    h: int,
+    w: int,
+    bbox: tuple[float, float, float, float],
+    rng: np.random.Generator,
+    arbitrary_mask_percent: float = 0.5,
+) -> np.ndarray:
+    """bbox mask or (with prob arbitrary_mask_percent) a Bézier blob."""
+    if rng.uniform() < arbitrary_mask_percent:
+        return arbitrary_blob_mask(h, w, bbox, rng)
+    return bbox_mask(h, w, bbox)
+
+
+def mask_bbox(mask: np.ndarray) -> tuple[int, int, int, int] | None:
+    """Tight (x1, y1, x2, y2) around nonzero mask pixels; None if empty.
+    (Counterpart of callback_fid.py:23-34 / clip_score bbox extraction.)"""
+    m = mask[..., 0] if mask.ndim == 3 else mask
+    ys, xs = np.nonzero(m > 0.5)
+    if len(ys) == 0:
+        return None
+    return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+
+
+def crop_square_around_mask(
+    image: np.ndarray,
+    source: np.ndarray,
+    mask: np.ndarray,
+    rng: np.random.Generator,
+    pad_min: float = 0.10,
+    pad_max: float = 0.40,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random square crop covering the masked area with 10-40% padding
+    (spec: the fork's crop_square_from_mask, open-images.py:121-141).
+    All arrays HWC."""
+    bb = mask_bbox(mask)
+    if bb is None:
+        return image, source, mask
+    x1, y1, x2, y2 = bb
+    side = int(max(y2 - y1, x2 - x1) * (1 + rng.uniform(pad_min, pad_max)))
+    h, w = image.shape[:2]
+    side = min(side, h, w)
+    cy, cx = (y1 + y2) // 2, (x1 + x2) // 2
+    top = max(min(cy - side // 2, h - side), 0)
+    left = max(min(cx - side // 2, w - side), 0)
+    sl = (slice(top, top + side), slice(left, left + side))
+    return image[sl], source[sl], mask[sl]

@@ -1,0 +1,131 @@
+"""Self-supervised Open-Images training dataset.
+
+Re-derivation of the upstream OpenImageDataset (deleted mid-refactor in the
+reference; targeted by configs/v1.yaml:80-84 with
+``arbitrary_mask_percent: 0.5``; bbox txt files produced by
+scripts/read_bbox.py): each example is built from one image + one object
+bbox, fully self-supervised:
+
+  * mask  = the bbox, or (50%) a random Bézier blob around it
+  * exemplar = the bbox crop, strongly augmented (flip/rotate/blur) to break
+    the copy-paste shortcut
+  * source = image with the mask region zeroed ("inpaint image")
+  * target = the original image
+
+Then a random square crop with 10-40% padding around the mask, resized to
+``image_size`` (the fork's crop recipe, open-images.py:121-141).
+
+Layout on disk (read_bbox.py:1-54 output):
+    <dataset_dir>/images/<state>/<id>.jpg
+    <dataset_dir>/bbox/<state>/<id>.txt     (one 'x1 y1 x2 y2' line per box)
+
+Returns the canonical batch dict used by pbe_tpu.training.train_step:
+    {'image', 'inpaint_image', 'mask', 'ref'}  — mask is 1 = keep source.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from pbe_tpu.data.augment import augment_exemplar
+from pbe_tpu.data.masks import crop_square_around_mask, training_mask
+
+
+def _resize_hwc(x: np.ndarray, size: int, nearest: bool = False) -> np.ndarray:
+    mode = Image.NEAREST if nearest else Image.BICUBIC
+    squeeze = x.shape[-1] == 1
+    img = Image.fromarray(
+        (np.clip((x[..., 0] if squeeze else x), 0, 1) * 255).astype(np.uint8)
+    )
+    out = np.asarray(img.resize((size, size), mode), np.float32) / 255.0
+    return out[..., None] if squeeze else out
+
+
+class OpenImagesDataset:
+    """Map-style dataset; __getitem__(i) -> dict of float32 HWC arrays."""
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        state: str = "train",
+        image_size: int = 512,
+        arbitrary_mask_percent: float = 0.5,
+        min_box_frac: float = 0.02,
+        max_box_frac: float = 0.8,
+        seed: int = 0,
+    ):
+        self.dataset_dir = Path(dataset_dir)
+        self.state = state
+        self.image_size = image_size
+        self.arbitrary_mask_percent = arbitrary_mask_percent
+        self.min_box_frac = min_box_frac
+        self.max_box_frac = max_box_frac
+        self.seed = seed
+        bbox_dir = self.dataset_dir / "bbox" / state
+        self.ids = sorted(p.stem for p in bbox_dir.glob("*.txt")) if bbox_dir.is_dir() else []
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _image_path(self, id_: str) -> Path:
+        for ext in (".jpg", ".jpeg", ".png"):
+            p = self.dataset_dir / "images" / self.state / f"{id_}{ext}"
+            if p.exists():
+                return p
+        raise FileNotFoundError(f"no image for id {id_}")
+
+    def _read_bboxes(self, id_: str) -> np.ndarray:
+        p = self.dataset_dir / "bbox" / self.state / f"{id_}.txt"
+        rows = []
+        for line in p.read_text().strip().splitlines():
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            if len(vals) >= 4:
+                rows.append(vals[:4])
+        return np.asarray(rows, np.float32)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, idx))
+        id_ = self.ids[idx]
+        img = Image.open(self._image_path(id_)).convert("RGB")
+        w, h = img.size
+        image01 = np.asarray(img, np.float32) / 255.0
+
+        boxes = self._read_bboxes(id_)
+        # filter degenerate boxes (area fraction bounds per read_bbox.py:35)
+        if len(boxes):
+            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) / (w * h)
+            keep = (areas > self.min_box_frac) & (areas < self.max_box_frac)
+            boxes = boxes[keep]
+        if len(boxes) == 0:
+            # fall back to a central box
+            boxes = np.asarray([[w * 0.25, h * 0.25, w * 0.75, h * 0.75]], np.float32)
+        bbox = tuple(boxes[rng.integers(len(boxes))])
+
+        edit_mask = training_mask(h, w, bbox, rng, self.arbitrary_mask_percent)
+        keep_mask = 1.0 - edit_mask
+
+        x1, y1, x2, y2 = (int(round(v)) for v in bbox)
+        ref_crop = img.crop((max(x1, 0), max(y1, 0), min(x2, w), min(y2, h)))
+        ref = augment_exemplar(ref_crop, rng)
+
+        image = image01 * 2.0 - 1.0
+        source = image * keep_mask
+        image, source, keep_mask = crop_square_around_mask(
+            image, source, keep_mask, rng
+        )
+        s = self.image_size
+        image = _resize_hwc((image + 1) / 2, s) * 2.0 - 1.0
+        source = _resize_hwc((source + 1) / 2, s) * 2.0 - 1.0
+        keep_mask = (_resize_hwc(keep_mask, s) > 0.5).astype(np.float32)
+        # re-zero the source under the resized mask so mask/source stay consistent
+        source = source * keep_mask
+
+        return {
+            "image": image.astype(np.float32),
+            "inpaint_image": source.astype(np.float32),
+            "mask": keep_mask,
+            "ref": ref,
+        }

@@ -1,0 +1,129 @@
+"""End-to-end exemplar-guided edit pipeline, fully jitted.
+
+One compiled XLA program per (batch, image size, step count, sampler) covers
+the whole edit: VAE-encode the masked source, CLIP-encode the exemplar,
+run the S-step CFG sampler scan, VAE-decode — zero host round-trips inside
+(the reference runs this as ~102 separate CUDA dispatch regions from Python:
+scripts/inference.py:305-346).
+
+Guidance scale is a traced scalar: changing it does NOT recompile.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.samplers import ddim_sample, make_cfg_eps_fn, plms_sample
+from pbe_tpu.schedules import SamplerSchedule
+
+
+class EditPipeline:
+    """Holds (model, variables) and a cache of compiled edit functions."""
+
+    def __init__(self, model: PaintByExample, variables: dict):
+        self.model = model
+        self.variables = variables
+        self._fns: dict[tuple, Any] = {}
+
+    # -- jitted body --------------------------------------------------------
+    def _build(self, steps: int, sampler: str, eta: float):
+        sched = SamplerSchedule.create(self.model.schedule, steps, eta=eta)
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=())
+        def run(variables, image, mask, ref, x_T, scale, rng):
+            r_enc, r_sample = jax.random.split(rng)
+            inpaint = image * mask
+            z_inpaint = model.apply(
+                variables, inpaint, r_enc, method=PaintByExample.encode_first_stage
+            )
+            hw = z_inpaint.shape[1:3]
+            m_lat = jax.image.resize(
+                mask, (mask.shape[0], *hw, 1), "bilinear"
+            ).astype(z_inpaint.dtype)
+            c = model.apply(variables, ref, method=PaintByExample.get_conditioning)
+            uc = model.apply(
+                variables, image.shape[0], method=PaintByExample.uncond_vector
+            )
+
+            def apply_fn(x9, t, ctx):
+                return model.apply(
+                    variables, x9, t, ctx, method=PaintByExample.apply_model
+                )
+
+            # scale is traced: build the CFG closure with symbolic scale
+            ctx2 = jnp.concatenate([uc.astype(c.dtype), c], axis=0)
+
+            def eps_fn(x9, t):
+                e = apply_fn(
+                    jnp.concatenate([x9, x9], 0), jnp.concatenate([t, t], 0), ctx2
+                )
+                e_uc, e_c = jnp.split(e, 2, axis=0)
+                return e_uc + scale * (e_c - e_uc)
+
+            if sampler == "plms":
+                x0 = plms_sample(eps_fn, sched, x_T, z_inpaint, m_lat)
+            elif sampler == "ddim":
+                x0 = ddim_sample(
+                    eps_fn, sched, x_T, z_inpaint, m_lat,
+                    rng=r_sample if eta > 0 else None,
+                )
+            else:
+                raise ValueError(f"unknown sampler {sampler!r}")
+            img = model.apply(
+                variables, x0, method=PaintByExample.decode_first_stage
+            )
+            return jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+        return run
+
+    def _fn(self, steps: int, sampler: str, eta: float):
+        key = (steps, sampler, eta)
+        if key not in self._fns:
+            self._fns[key] = self._build(*key)
+        return self._fns[key]
+
+    # -- public API ---------------------------------------------------------
+    def edit_batch(
+        self,
+        image: np.ndarray,
+        mask: np.ndarray,
+        ref: np.ndarray,
+        *,
+        steps: int = 50,
+        scale: float = 5.0,
+        sampler: str = "plms",
+        eta: float = 0.0,
+        seed: int = 42,
+        x_T: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """image (B,H,W,3) in [-1,1]; mask (B,H,W,1) 1=keep; ref (B,224,224,3)
+        CLIP-normalized. Returns (B,H,W,3) float32 in [0,1]."""
+        b, h, w, _ = image.shape
+        rng = jax.random.PRNGKey(seed)
+        if x_T is None:
+            rng, r_xt = jax.random.split(rng)
+            x_T = jax.random.normal(
+                r_xt, (b, h // 8, w // 8, 4), self.model.dtype
+            )
+        fn = self._fn(int(steps), sampler, float(eta))
+        out = fn(
+            self.variables,
+            jnp.asarray(image, self.model.dtype),
+            jnp.asarray(mask, self.model.dtype),
+            jnp.asarray(ref, self.model.dtype),
+            jnp.asarray(x_T, self.model.dtype),
+            jnp.asarray(scale, jnp.float32),
+            rng,
+        )
+        return np.asarray(out)
+
+    def edit(self, image, mask, ref, **kw) -> np.ndarray:
+        """Single-example convenience; HWC in, HWC out."""
+        out = self.edit_batch(image[None], mask[None], ref[None], **kw)
+        return out[0]

@@ -1,0 +1,88 @@
+"""Model construction + checkpoint loading for the CLIs and pipelines.
+
+Equivalent of the reference's load_model_from_config
+(scripts/inference.py:58-75): build from YAML, overlay a (converted) torch
+checkpoint with strict=False semantics, report missing/unexpected keys.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pbe_tpu.convert import convert_state_dict, load_torch_checkpoint
+from pbe_tpu.convert.torch_ckpt import validate_against
+from pbe_tpu.models.pbe import PaintByExample, build_from_yaml
+from pbe_tpu.pipelines.inference import EditPipeline
+from pbe_tpu.training.partition import count_params
+
+
+def init_variables(model: PaintByExample, seed: int = 0) -> dict:
+    """Initialize the full parameter tree. Spatial dims don't affect conv
+    param shapes, so init runs on a small 64x64 canvas; the CLIP image size
+    is fixed by its position embeddings."""
+    rng = jax.random.PRNGKey(seed)
+    clip_size = model.cond_config.clip.image_size if model.cond_config.clip else 224
+    image = jnp.zeros((1, 64, 64, 3), model.dtype)
+    mask = jnp.ones((1, 64, 64, 1), model.dtype)
+    ref = jnp.zeros((1, clip_size, clip_size, 3), model.dtype)
+    return jax.jit(
+        lambda r: model.init(
+            {"params": r}, image, mask, ref, r,
+            method=PaintByExample.initialize_all,
+        )
+    )(rng)
+
+
+def overlay_checkpoint(
+    variables: dict, ckpt_path: str, verbose: bool = True
+) -> dict:
+    """strict=False load: converted keys replace initialized ones; missing
+    keys keep their init values (ddpm.py:245-260 behavior)."""
+    import flax.traverse_util as traverse
+
+    sd = load_torch_checkpoint(ckpt_path)
+    converted, dropped = convert_state_dict(sd)
+    missing, unexpected, mismatched = validate_against(
+        converted["params"], variables["params"]
+    )
+    if mismatched:
+        raise ValueError(f"shape mismatches loading {ckpt_path}: {mismatched[:5]}")
+    if verbose:
+        print(
+            f"Restored from {ckpt_path}: {len(missing)} missing, "
+            f"{len(unexpected)} unexpected, {len(dropped)} dropped torch keys"
+        )
+        if missing:
+            print(f"  missing (kept init): {missing[:8]}")
+    flat = dict(traverse.flatten_dict(variables["params"]))
+    conv_flat = traverse.flatten_dict(converted["params"])
+    for k, v in conv_flat.items():
+        if k in flat:
+            flat[k] = jnp.asarray(v, flat[k].dtype)
+    return {"params": traverse.unflatten_dict(flat)}
+
+
+def load_pipeline(
+    config_path: str,
+    ckpt_path: str | None = None,
+    dtype: Any = jnp.bfloat16,
+    attn_impl: str = "xla",
+    seed: int = 0,
+    verbose: bool = True,
+) -> tuple[EditPipeline, dict]:
+    """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg)."""
+    model, raw = build_from_yaml(config_path, dtype=dtype, attn_impl=attn_impl,
+                                 remat=False)
+    variables = init_variables(model, seed=seed)
+    if ckpt_path:
+        variables = overlay_checkpoint(variables, ckpt_path, verbose=verbose)
+    elif verbose:
+        print(
+            "WARNING: no checkpoint given — running with randomly initialized "
+            "weights (outputs will not be meaningful edits)"
+        )
+    if verbose:
+        print(f"model parameters: {count_params(variables) / 1e6:.1f}M")
+    return EditPipeline(model, variables), raw

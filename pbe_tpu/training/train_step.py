@@ -74,6 +74,11 @@ def create_train_state(
     use_ema: bool = False,
 ) -> TrainState:
     trainable, frozen = split_params(variables["params"])
+    # copy leaves: the train step donates the state, and device_put to an
+    # identical sharding may alias rather than copy — without the copy the
+    # caller's `variables` buffers would be deleted by the first step
+    trainable = jax.tree.map(jnp.array, trainable)
+    frozen = jax.tree.map(jnp.array, frozen)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=trainable,

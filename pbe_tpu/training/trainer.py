@@ -1,0 +1,185 @@
+"""Training driver: loop + validation + Orbax checkpointing + metrics.
+
+Replaces the reference's Lightning Trainer assembly (main.py:98-377):
+  * data-parallel mesh (pbe_tpu.parallel) instead of DeepSpeed/NCCL
+  * Orbax async checkpoints, top-k selected on ``val/loss_simple`` (the
+    reference monitored val/loss_simple_ema with top-5, main.py:287)
+  * resume actually works (the reference hard-disabled it, main.py:197)
+  * metrics stream to stdout + a JSONL file (wandb equivalent without egress)
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.parallel import batch_sharding, make_mesh, replicated, zero_shard_opt_state
+from pbe_tpu.training.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class MetricLogger:
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: dict[str, Any], prefix: str = "train") -> None:
+        row = {"step": int(step), **{
+            f"{prefix}/{k}": float(v) for k, v in metrics.items()
+        }, "time": time.time()}
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: PaintByExample,
+        variables: dict,
+        base_lr: float = 1e-5,
+        logdir: str = "logs/run",
+        use_ema: bool = False,
+        zero_shard: bool = True,
+        max_to_keep: int = 5,
+        seed: int = 0,
+        num_devices: int | None = None,
+    ):
+        self.model = model
+        self.logdir = logdir
+        self.tx = make_optimizer(base_lr=base_lr)
+        self.state = create_train_state(model, variables, self.tx, use_ema=use_ema)
+        devices = jax.devices()[:num_devices] if num_devices else None
+        self.mesh = make_mesh(devices)
+        self.rng = jax.random.PRNGKey(seed)
+        self.logger = MetricLogger(logdir)
+
+        repl = replicated(self.mesh)
+        self._repl = repl
+        opt_sh = (
+            zero_shard_opt_state(self.state.opt_state, self.mesh)
+            if zero_shard else jax.tree.map(lambda _: repl, self.state.opt_state)
+        )
+        self.state_sharding = self.state.replace(
+            step=repl,
+            params=jax.tree.map(lambda _: repl, self.state.params),
+            frozen=jax.tree.map(lambda _: repl, self.state.frozen),
+            opt_state=opt_sh,
+            ema=(jax.tree.map(lambda _: repl, self.state.ema)
+                 if self.state.ema is not None else None),
+        )
+        self.state = jax.device_put(self.state, self.state_sharding)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        self.train_step = jax.jit(
+            make_train_step(model, self.tx), donate_argnums=0,
+        )
+        self.eval_step = jax.jit(make_eval_step(model))
+
+        ckpt_dir = Path(logdir).absolute() / "checkpoints"
+        self.ckpt_mgr = ocp.CheckpointManager(
+            ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=lambda m: m.get("val/loss_simple", float("inf")),
+                best_mode="min",
+            ),
+        )
+
+    # -- checkpointing -----------------------------------------------------
+    def save(self, metrics: dict | None = None) -> None:
+        self.ckpt_mgr.save(
+            int(self.state.step),
+            args=ocp.args.StandardSave(self.state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+
+    def restore(self, step: int | None = None) -> bool:
+        step = step if step is not None else self.ckpt_mgr.latest_step()
+        if step is None:
+            return False
+        self.state = self.ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(self.state)
+        )
+        return True
+
+    def _put_batch(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return jax.device_put(
+            arrays, jax.tree.map(lambda _: self._batch_sharding, arrays)
+        )
+
+    # -- loops ---------------------------------------------------------------
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Iterable | None = None,
+        max_steps: int = 1000,
+        max_epochs: int | None = None,
+        log_every: int = 50,
+        val_every: int = 1000,
+        ckpt_every: int = 1000,
+    ) -> None:
+        step = int(self.state.step)
+        epoch = 0
+        t0 = time.time()
+        while step < max_steps and (max_epochs is None or epoch < max_epochs):
+            for batch in train_loader:
+                self.state, metrics = self.train_step(
+                    self.state, self._put_batch(batch), self.rng
+                )
+                step = int(self.state.step)
+                if step % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["steps_per_sec"] = log_every / max(time.time() - t0, 1e-9)
+                    t0 = time.time()
+                    self.logger.log(step, m)
+                    print(f"step {step}: " + " ".join(
+                        f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+                if val_loader is not None and step % val_every == 0:
+                    val_m = self.validate(val_loader)
+                    self.logger.log(step, val_m, prefix="val")
+                    self.save({f"val/{k}": v for k, v in val_m.items()})
+                elif step % ckpt_every == 0:
+                    self.save()
+                if step >= max_steps:
+                    break
+            epoch += 1
+        self.ckpt_mgr.wait_until_finished()
+
+    def validate(self, val_loader: Iterable, max_batches: int = 50) -> dict:
+        agg: dict[str, list[float]] = {}
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(val_loader):
+            if i >= max_batches:
+                break
+            rng = jax.random.fold_in(rng, i)
+            m = self.eval_step(
+                self.state.params, self.state.frozen, self._put_batch(batch), rng
+            )
+            for k, v in m.items():
+                agg.setdefault(k, []).append(float(v))
+            if self.state.ema is not None:
+                m_ema = self.eval_step(
+                    self.state.ema.shadow, self.state.frozen,
+                    self._put_batch(batch), rng,
+                )
+                for k, v in m_ema.items():
+                    agg.setdefault(f"{k}_ema", []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in agg.items()}

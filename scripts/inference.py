@@ -1,0 +1,150 @@
+"""Single-edit CLI — flag-compatible with the reference scripts/inference.py
+(:128-266): given --image_path, --mask_path, --reference_path, repaint the
+masked region to depict the exemplar, saving results/, grid/, source/ PNGs in
+the reference's output layout (:282-399).
+
+Differences by design:
+  * runs the whole edit as ONE compiled XLA program on TPU (bf16 by default);
+    --precision full switches to fp32
+  * the diffusers safety checker (whose output the reference discards at
+    :351) and the invisible-watermark stamp are omitted — both are
+    CUDA/OpenCV-ecosystem extras outside the editing capability
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", type=str, nargs="?", default="outputs/txt2img-samples",
+                   help="dir to write results to")
+    p.add_argument("--skip_grid", action="store_true",
+                   help="do not save a grid, only individual samples")
+    p.add_argument("--skip_save", action="store_true",
+                   help="do not save individual samples (speed measurements)")
+    p.add_argument("--ddim_steps", type=int, default=50,
+                   help="number of ddim sampling steps")
+    p.add_argument("--plms", action="store_true", help="use plms sampling")
+    p.add_argument("--fixed_code", action="store_true",
+                   help="use the same starting code across samples")
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="ddim eta (0.0 = deterministic sampling)")
+    p.add_argument("--n_iter", type=int, default=2, help="sample this often")
+    p.add_argument("--H", type=int, default=512, help="image height, pixels")
+    p.add_argument("--W", type=int, default=512, help="image width, pixels")
+    p.add_argument("--n_imgs", type=int, default=100)
+    p.add_argument("--C", type=int, default=4, help="latent channels")
+    p.add_argument("--f", type=int, default=8, help="downsampling factor")
+    p.add_argument("--n_samples", type=int, default=1,
+                   help="samples per reference image (batch size)")
+    p.add_argument("--n_rows", type=int, default=0,
+                   help="rows in the grid (default: n_samples)")
+    p.add_argument("--scale", type=float, default=1,
+                   help="CFG scale: eps = eps(uc) + scale * (eps(c) - eps(uc))")
+    p.add_argument("--config", type=str, default="",
+                   help="path to config which constructs model")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="path to checkpoint of model (torch .ckpt, auto-converted)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="the seed (for reproducible sampling)")
+    p.add_argument("--precision", type=str, choices=["full", "autocast"],
+                   default="autocast", help="fp32 or bf16 inference")
+    p.add_argument("--image_path", type=str, default="")
+    p.add_argument("--mask_path", type=str, default="")
+    p.add_argument("--reference_path", type=str, default="")
+    return p
+
+
+def main() -> None:
+    opt = get_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pbe_tpu.data import transforms as T
+    from pbe_tpu.pipelines.loading import load_pipeline
+
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    sample_path = os.path.join(opt.outdir, "source")
+    result_path = os.path.join(opt.outdir, "results")
+    grid_path = os.path.join(opt.outdir, "grid")
+    for d in (sample_path, result_path, grid_path):
+        os.makedirs(d, exist_ok=True)
+
+    filename = os.path.basename(opt.image_path)
+    stem = filename[:-4]
+    size = (opt.H, opt.W)
+    image = T.load_image(opt.image_path, size)
+    mask = T.load_mask(opt.mask_path, size)
+    ref = T.load_reference(opt.reference_path)
+
+    b = opt.n_samples
+    images = np.repeat(image[None], b, 0)
+    masks = np.repeat(mask[None], b, 0)
+    refs = np.repeat(ref[None], b, 0)
+
+    x_T = None
+    if opt.fixed_code:
+        x_T = np.asarray(
+            jax.random.normal(
+                jax.random.PRNGKey(opt.seed), (b, opt.H // opt.f, opt.W // opt.f, opt.C)
+            )
+        )
+
+    t0 = time.time()
+    out = pipeline.edit_batch(
+        images, masks, refs,
+        steps=opt.ddim_steps,
+        scale=opt.scale,
+        sampler="plms" if opt.plms else "ddim",
+        eta=opt.ddim_eta,
+        seed=opt.seed,
+        x_T=x_T,
+    )
+    t_compile = time.time() - t0
+    t0 = time.time()
+    out = pipeline.edit_batch(
+        images, masks, refs, steps=opt.ddim_steps, scale=opt.scale,
+        sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
+        seed=opt.seed, x_T=x_T,
+    )
+    t_edit = time.time() - t0
+    print(f"first call (incl. compile): {t_compile:.2f}s; steady-state edit: "
+          f"{t_edit:.2f}s for batch {b} ({t_edit / b:.3f}s/edit)")
+
+    inpaint = T.unnormalize(images * masks)
+    src01 = T.unnormalize(images)
+    ref01 = np.clip(T.unnormalize_clip(refs), 0, 1)
+
+    if not opt.skip_save:
+        for i in range(b):
+            T.save_image(out[i], os.path.join(result_path, f"{stem}_{opt.seed}.png"))
+            T.save_image(
+                np.repeat(1.0 - masks[i], 3, axis=-1),
+                os.path.join(sample_path, f"{stem}_{opt.seed}_mask.png"),
+            )
+            T.save_image(src01[i], os.path.join(sample_path, f"{stem}_{opt.seed}_GT.png"))
+            T.save_image(
+                inpaint[i], os.path.join(sample_path, f"{stem}_{opt.seed}_inpaint.png")
+            )
+            T.save_image(ref01[i], os.path.join(sample_path, f"{stem}_{opt.seed}_ref.png"))
+            if not opt.skip_grid:
+                grid = T.hstack_grid([src01[i], inpaint[i], ref01[i], out[i]])
+                T.save_image(
+                    grid, os.path.join(grid_path, f"grid-{stem}_{opt.seed}.png")
+                )
+
+    print(f"Your samples are ready and waiting for you here: \n{opt.outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""COCOEE test-bench batch inference — flag surface matching the reference
+scripts/inference_test_bench.py (same knobs as inference.py plus the bench
+directory). Shards the 3500 pairs into batches and writes per-id results for
+the eval tools (:316-403 behavior)."""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", type=str, default="results/test_bench")
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--plms", action="store_true")
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--scale", type=float, default=5.0)
+    p.add_argument("--n_samples", type=int, default=4, help="batch size")
+    p.add_argument("--config", type=str, default="configs/v1.yaml")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--seed", type=int, default=321)
+    p.add_argument("--precision", choices=["full", "autocast"], default="autocast")
+    p.add_argument("--test_bench_dir", type=str, default="test_bench")
+    p.add_argument("--limit", type=int, default=0, help="cap pairs (0 = all 3500)")
+    p.add_argument("--skip_grid", action="store_true")
+    opt = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from pbe_tpu.data import transforms as T
+    from pbe_tpu.data.loader import DataLoader
+    from pbe_tpu.data.test_bench import COCOEEDataset
+    from pbe_tpu.pipelines.batch import infer_batch, visualize_batch
+    from pbe_tpu.pipelines.loading import load_pipeline
+
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
+
+    ds = COCOEEDataset(opt.test_bench_dir)
+    if opt.limit:
+        ds.ids = ds.ids[: opt.limit]
+    dl = DataLoader(ds, opt.n_samples, shuffle=False, drop_last=False)
+
+    result_dir = os.path.join(opt.outdir, "results")
+    grid_dir = os.path.join(opt.outdir, "grid")
+    os.makedirs(result_dir, exist_ok=True)
+
+    total, t_total = 0, 0.0
+    for batch in dl:
+        t0 = time.time()
+        preds = infer_batch(
+            pipeline, batch, steps=opt.ddim_steps, scale=opt.scale,
+            sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
+            seed=opt.seed,
+        )
+        t_total += time.time() - t0
+        for i, id_ in enumerate(batch["id"]):
+            T.save_image(preds[i], os.path.join(result_dir, f"{id_}.png"))
+        if not opt.skip_grid:
+            visualize_batch(batch, preds, grid_dir, ids=batch["id"])
+        total += len(preds)
+        print(f"{total}/{len(ds)} pairs, {total / max(t_total, 1e-9):.3f} edits/s",
+              flush=True)
+
+    print(f"done: {total} edits in {t_total:.1f}s "
+          f"({total / max(t_total, 1e-9):.3f} edits/s incl. first compile)")
+
+
+if __name__ == "__main__":
+    main()

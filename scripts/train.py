@@ -1,0 +1,91 @@
+"""Training entry point — CLI surface modeled on the reference main.py
+(:35-60 flags; OmegaConf-style dotlist overrides after ``--``):
+
+    python scripts/train.py --base configs/v1.yaml --train \
+        [--seed N] [--scale_lr] [--resume] [--logdir DIR] \
+        [--max_steps N] [model.params.timesteps=500 ...]
+
+Improvements over the reference: --resume actually restores (main.py:197
+asserted it away), and distribution is the pjit data mesh instead of
+DeepSpeed.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", nargs="*", default=["configs/v1.yaml"],
+                   help="base config yaml(s), merged left-to-right")
+    p.add_argument("--train", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale base LR by n_devices * batch_size (main.py:366-368)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --logdir")
+    p.add_argument("--logdir", type=str, default="logs/pbe")
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--max_epochs", type=int, default=40)
+    p.add_argument("--ckpt", type=str, default="",
+                   help="torch .ckpt to initialize from (SD-v1-4 9ch surgery "
+                        "output or a trained PBE checkpoint)")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--precision", choices=["full", "autocast"], default="autocast")
+    p.add_argument("--val_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
+    return p
+
+
+def main() -> None:
+    opt, unknown = get_parser().parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pbe_tpu import config as config_lib
+    from pbe_tpu.pipelines.loading import init_variables, overlay_checkpoint
+    from pbe_tpu.training.trainer import Trainer
+
+    raw: dict = {}
+    for path in opt.base:
+        cfg = config_lib.load_config(path)
+        raw = {**raw, **cfg}
+    overrides = [u for u in unknown if "=" in u and not u.startswith("-")]
+    config_lib.merge_dotlist(raw, overrides)
+
+    model_cfg = config_lib.instantiate_from_config(raw["model"])
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    model = model_cfg.build(dtype=dtype, remat=True)
+
+    variables = init_variables(model, seed=opt.seed)
+    if opt.ckpt:
+        variables = overlay_checkpoint(variables, opt.ckpt)
+
+    data = config_lib.instantiate_from_config(raw["data"])
+    train_loader = data.train_dataloader()
+    val_loader = data.val_dataloader()
+
+    base_lr = model_cfg.base_learning_rate
+    if opt.scale_lr:
+        base_lr = base_lr * len(jax.devices()) * data.batch_size
+        print(f"scaled LR: {base_lr:.2e}")
+
+    trainer = Trainer(
+        model, variables, base_lr=base_lr, logdir=opt.logdir,
+        use_ema=opt.use_ema, seed=opt.seed,
+    )
+    if opt.resume and trainer.restore():
+        print(f"resumed from step {int(trainer.state.step)}")
+
+    trainer.fit(
+        train_loader, val_loader,
+        max_steps=opt.max_steps, max_epochs=opt.max_epochs,
+        log_every=opt.log_every, val_every=opt.val_every,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Trainer loop: fit a few steps on synthetic data, checkpoint, resume."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from pbe_tpu.data.loader import DataLoader
+from pbe_tpu.data.openimages import OpenImagesDataset
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
+from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.models.unet import UNetConfig
+from pbe_tpu.models.vae import AutoencoderKLConfig
+from pbe_tpu.training.trainer import Trainer
+
+
+def _tiny_model():
+    return PaintByExample(
+        unet_config=UNetConfig(model_channels=8, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               num_heads=2, context_dim=768, use_checkpoint=False),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": 16},
+            embed_dim=4),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1, num_heads=4,
+                                  mlp_dim=32, patch_size=8, image_size=224),
+            mapper_layers=1),
+    )
+
+
+class SyntheticDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        g = np.random.default_rng(i)
+        image = g.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+        mask = np.ones((16, 16, 1), np.float32)
+        mask[4:12, 4:12] = 0.0
+        return {
+            "image": image, "inpaint_image": image * mask, "mask": mask,
+            "ref": g.standard_normal((224, 224, 3)).astype(np.float32),
+        }
+
+
+@pytest.mark.slow
+def test_fit_checkpoint_resume(tmp_path):
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 16, 16, 3)), jnp.ones((1, 16, 16, 1)),
+        jnp.zeros((1, 224, 224, 3)), rng,
+        method=PaintByExample.initialize_all,
+    )
+    loader = DataLoader(SyntheticDataset(), batch_size=4, shuffle=True,
+                        num_workers=2)
+    logdir = str(tmp_path / "run")
+    trainer = Trainer(model, variables, base_lr=1e-4, logdir=logdir,
+                      zero_shard=False, num_devices=4)
+    trainer.fit(loader, val_loader=loader, max_steps=4, log_every=2,
+                val_every=2, ckpt_every=2)
+    assert int(trainer.state.step) == 4
+    # metrics written
+    lines = [json.loads(l) for l in open(trainer.logger.path)]
+    assert any("train/loss" in l for l in lines)
+    assert any("val/loss_simple" in l for l in lines)
+    # checkpoints saved
+    assert trainer.ckpt_mgr.latest_step() is not None
+
+    # resume into a fresh trainer
+    trainer2 = Trainer(model, variables, base_lr=1e-4, logdir=logdir,
+                       zero_shard=False, num_devices=4)
+    assert trainer2.restore()
+    assert int(trainer2.state.step) == trainer.ckpt_mgr.latest_step()
+    p_old = jax.tree.leaves(trainer.state.params)[0]
+    p_new = jax.tree.leaves(trainer2.state.params)[0]
+    assert p_old.shape == p_new.shape
