@@ -44,6 +44,7 @@ def overlay_checkpoint(
 
     sd = load_torch_checkpoint(ckpt_path)
     converted, dropped = convert_state_dict(sd)
+    _maybe_expand_conv_in(converted, variables)
     missing, unexpected, mismatched = validate_against(
         converted["params"], variables["params"]
     )
@@ -62,6 +63,31 @@ def overlay_checkpoint(
         if k in flat:
             flat[k] = jnp.asarray(v, flat[k].dtype)
     return {"params": traverse.unflatten_dict(flat)}
+
+
+def _maybe_expand_conv_in(converted: dict, variables: dict) -> None:
+    """9-channel surgery: a plain SD-v1 checkpoint has a 4-channel first conv;
+    pad the extra 5 input channels (masked-source latents + mask) with zeros
+    (scripts/modify_checkpoints.py:1-6 semantics, kernel layout kHkWIO here)."""
+    import numpy as np
+
+    try:
+        got = converted["params"]["model"]["input_blocks_0_0"]["kernel"]
+        want = variables["params"]["model"]["input_blocks_0_0"]["kernel"]
+    except KeyError:
+        return
+    if got.shape[2] < want.shape[2] and got.shape[:2] == want.shape[:2]:
+        pad = np.zeros(
+            got.shape[:2] + (want.shape[2] - got.shape[2],) + got.shape[3:],
+            got.dtype,
+        )
+        converted["params"]["model"]["input_blocks_0_0"]["kernel"] = (
+            np.concatenate([np.asarray(got), pad], axis=2)
+        )
+        print(
+            f"expanded first conv input channels {got.shape[2]} -> "
+            f"{want.shape[2]} with zeros (SD -> PBE 9-channel surgery)"
+        )
 
 
 def load_pipeline(

@@ -1,0 +1,67 @@
+"""Flash-attention kernel vs the XLA reference path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pbe_tpu.ops.attention import multi_head_attention
+from pbe_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 256, 2, 40),   # padded head dim
+    (1, 512, 4, 128),  # aligned head dim
+    (1, 256, 1, 160),
+])
+def test_flash_matches_xla(np_rng, shape):
+    b, n, h, d = shape
+    q = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v)
+    want = multi_head_attention(
+        q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d),
+        num_heads=h,
+    ).reshape(b, n, h, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_gradients_match_xla(np_rng):
+    b, n, h, d = 1, 128, 2, 40
+    q = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return (flash_attention(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        out = multi_head_attention(
+            q.reshape(b, n, h * d), k.reshape(b, n, h * d),
+            v.reshape(b, n, h * d), num_heads=h,
+        )
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_flash_bf16(np_rng):
+    b, n, h, d = 1, 256, 2, 64
+    mk = lambda: jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v)
+    assert got.dtype == jnp.bfloat16
+    want = multi_head_attention(
+        q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d),
+        num_heads=h,
+    ).reshape(b, n, h, d)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
