@@ -26,9 +26,14 @@ from PIL import Image, ImageDraw
 def bezier_curve(points: np.ndarray, n: int = 24) -> np.ndarray:
     """Evaluate a Bézier curve of arbitrary degree at n parameters.
 
-    points: (K, 2) control points. Returns (n, 2). De Casteljau-free
-    closed form via the Bernstein basis.
+    points: (K, 2) control points. Returns (n, 2). Uses the C++ kernel
+    (native/pbe_native.cpp) when built; numpy Bernstein basis otherwise.
     """
+    from pbe_tpu.data import native
+
+    out = native.bezier_eval(points, n) if native.available() else None
+    if out is not None:
+        return out
     k = points.shape[0] - 1
     t = np.linspace(0.0, 1.0, n)[:, None]  # (n,1)
     # binomial coefficients
@@ -90,6 +95,12 @@ def arbitrary_blob_mask(
     poly[:, 0] = np.clip(poly[:, 0], 0, w - 1)
     poly[:, 1] = np.clip(poly[:, 1], 0, h - 1)
 
+    from pbe_tpu.data import native
+
+    if native.available():
+        filled = native.fill_polygon(poly, h, w)
+        if filled is not None:
+            return filled.astype(np.float32)[..., None]
     img = Image.new("L", (w, h), 0)
     ImageDraw.Draw(img).polygon([tuple(p) for p in poly.tolist()], fill=255)
     return (np.asarray(img, np.float32) / 255.0 >= 0.5).astype(np.float32)[..., None]

@@ -48,6 +48,11 @@ class PaintByExample(nn.Module):
     remat: bool = False
 
     @property
+    def latent_downsample(self) -> int:
+        """Image->latent spatial factor (8 for the v1 VAE: 2^(len(ch_mult)-1))."""
+        return 2 ** (len(self.vae_config.ddconfig.get("ch_mult", (1, 2, 4, 4))) - 1)
+
+    @property
     def schedule(self) -> DiffusionSchedule:
         return DiffusionSchedule.create(
             timesteps=self.timesteps,

@@ -105,11 +105,12 @@ class EditPipeline:
         """image (B,H,W,3) in [-1,1]; mask (B,H,W,1) 1=keep; ref (B,224,224,3)
         CLIP-normalized. Returns (B,H,W,3) float32 in [0,1]."""
         b, h, w, _ = image.shape
+        f = self.model.latent_downsample
         rng = jax.random.PRNGKey(seed)
         if x_T is None:
             rng, r_xt = jax.random.split(rng)
             x_T = jax.random.normal(
-                r_xt, (b, h // 8, w // 8, 4), self.model.dtype
+                r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
         fn = self._fn(int(steps), sampler, float(eta))
         out = fn(

@@ -132,7 +132,10 @@ def make_ddim_timesteps(
     (ref: diffusionmodules/util.py:46-60)."""
     if discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
-        ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
+        # arange(S)*c == range(0, T, c) when S divides T (the reference's
+        # formula, util.py:48-49) but stays in-bounds for ragged step counts
+        # where the reference would index past the schedule
+        ddim_timesteps = np.arange(num_ddim_timesteps) * c
     elif discr_method == "quad":
         ddim_timesteps = (
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2

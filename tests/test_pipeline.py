@@ -1,0 +1,93 @@
+"""End-to-end EditPipeline on a tiny model (CPU): shapes, determinism,
+mask/x_T plumbing, sampler/steps cache behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
+from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.models.unet import UNetConfig
+from pbe_tpu.models.vae import AutoencoderKLConfig
+from pbe_tpu.pipelines.inference import EditPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = PaintByExample(
+        unet_config=UNetConfig(model_channels=8, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               num_heads=2, context_dim=768, use_checkpoint=False),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 8, "ch_mult": [1, 2, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": 32},
+            embed_dim=4),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1, num_heads=4,
+                                  mlp_dim=32, patch_size=8, image_size=32),
+            mapper_layers=1),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 32, 32, 3)), jnp.ones((1, 32, 32, 1)),
+        jnp.zeros((1, 32, 32, 3)), rng,
+        method=PaintByExample.initialize_all,
+    )
+    # perturb the zero-init UNet head so eps is non-trivial
+    variables = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(0).standard_normal(p.shape)
+        .astype(np.float32), variables)
+    return EditPipeline(model, variables)
+
+
+def _inputs(b=1):
+    g = np.random.default_rng(0)
+    image = g.uniform(-1, 1, (b, 32, 32, 3)).astype(np.float32)
+    mask = np.ones((b, 32, 32, 1), np.float32)
+    mask[:, 8:24, 8:24] = 0.0
+    ref = g.standard_normal((b, 32, 32, 3)).astype(np.float32)
+    return image, mask, ref
+
+
+def test_edit_shapes_and_range(pipeline):
+    image, mask, ref = _inputs()
+    out = pipeline.edit_batch(image, mask, ref, steps=3, scale=5.0, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.isfinite(out).all()
+
+
+def test_edit_deterministic_given_seed(pipeline):
+    image, mask, ref = _inputs()
+    a = pipeline.edit_batch(image, mask, ref, steps=3, seed=7)
+    b = pipeline.edit_batch(image, mask, ref, steps=3, seed=7)
+    c = pipeline.edit_batch(image, mask, ref, steps=3, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
+def test_scale_change_does_not_recompile(pipeline):
+    image, mask, ref = _inputs()
+    pipeline.edit_batch(image, mask, ref, steps=3, scale=1.5, seed=1)
+    n_compiled = len(pipeline._fns)
+    out2 = pipeline.edit_batch(image, mask, ref, steps=3, scale=9.0, seed=1)
+    assert len(pipeline._fns) == n_compiled
+    assert np.isfinite(out2).all()
+
+
+def test_ddim_and_plms_both_run(pipeline):
+    image, mask, ref = _inputs()
+    a = pipeline.edit_batch(image, mask, ref, steps=4, sampler="plms", seed=1)
+    b = pipeline.edit_batch(image, mask, ref, steps=4, sampler="ddim", seed=1)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0  # different integrators
+
+
+def test_fixed_code_reproducible(pipeline):
+    image, mask, ref = _inputs()
+    x_T = np.random.default_rng(3).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    a = pipeline.edit_batch(image, mask, ref, steps=3, x_T=x_T, seed=1)
+    b = pipeline.edit_batch(image, mask, ref, steps=3, x_T=x_T, seed=1)
+    np.testing.assert_array_equal(a, b)
