@@ -21,9 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_LATENCY_S = 1.5  # BASELINE.md: 50-step 512^2 edit p50 target on v5e
-STEPS = 50
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+SAMPLER = os.environ.get("BENCH_SAMPLER", "plms")
+ATTN = os.environ.get("BENCH_ATTN", "xla")  # 'xla' | 'pallas'
 
 
 def main() -> None:
@@ -35,7 +37,7 @@ def main() -> None:
     from pbe_tpu.pipelines.inference import EditPipeline
     from pbe_tpu.pipelines.loading import init_variables
 
-    model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl="xla")
+    model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl=ATTN)
     with contextlib.redirect_stdout(io.StringIO()):
         variables = init_variables(model, seed=0)
         pipeline = EditPipeline(model, variables)
@@ -46,7 +48,7 @@ def main() -> None:
         mask[:, 128:384, 128:384, :] = 0.0
         ref = g.standard_normal((BATCH, 224, 224, 3)).astype(np.float32)
 
-        kw = dict(steps=STEPS, scale=5.0, sampler="plms", seed=321)
+        kw = dict(steps=STEPS, scale=5.0, sampler=SAMPLER, seed=321)
         pipeline.edit_batch(image, mask, ref, **kw)  # compile + warm
         times = []
         for _ in range(REPEATS):
@@ -57,12 +59,13 @@ def main() -> None:
 
     p50 = float(np.median(times))
     latency_per_edit = p50 / BATCH
+    baseline = BASELINE_LATENCY_S * (STEPS / 50)  # target scales with steps
     print(json.dumps({
-        "metric": "512^2 edits/sec/chip (50-step PLMS, bf16, batch "
-                  f"{BATCH})",
+        "metric": f"512^2 edits/sec/chip ({STEPS}-step {SAMPLER.upper()}, "
+                  f"bf16, batch {BATCH})",
         "value": round(BATCH / p50, 4),
         "unit": "edits/s",
-        "vs_baseline": round(BASELINE_LATENCY_S / latency_per_edit, 4),
+        "vs_baseline": round(baseline / latency_per_edit, 4),
     }))
 
 
