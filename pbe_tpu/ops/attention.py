@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 
 
+def default_attn_impl() -> str:
+    """'pallas' on TPU backends, 'xla' elsewhere (CPU tests, interpret)."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -29,6 +29,19 @@ class EditPipeline:
         self.model = model
         self.variables = variables
         self._fns: dict[tuple, Any] = {}
+        self._batch_sharding = None
+
+    def shard(self, mesh=None) -> "EditPipeline":
+        """Enable multi-chip batch serving: params replicated over a data
+        mesh, inputs sharded on the batch axis; XLA partitions the whole edit
+        program (the multi-chip serving sharding from BASELINE configs)."""
+        from pbe_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = mesh or make_mesh()
+        self.variables = jax.device_put(self.variables, replicated(mesh))
+        self._batch_sharding = batch_sharding(mesh)
+        self._replicated = replicated(mesh)
+        return self
 
     # -- jitted body --------------------------------------------------------
     def _build(self, steps: int, sampler: str, eta: float):
@@ -113,14 +126,16 @@ class EditPipeline:
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
         fn = self._fn(int(steps), sampler, float(eta))
-        out = fn(
-            self.variables,
+        args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),
             jnp.asarray(ref, self.model.dtype),
             jnp.asarray(x_T, self.model.dtype),
-            jnp.asarray(scale, jnp.float32),
-            rng,
+        ]
+        if self._batch_sharding is not None:
+            args = [jax.device_put(a, self._batch_sharding) for a in args]
+        out = fn(
+            self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
         )
         return np.asarray(out)
 

@@ -94,11 +94,15 @@ def load_pipeline(
     config_path: str,
     ckpt_path: str | None = None,
     dtype: Any = jnp.bfloat16,
-    attn_impl: str = "xla",
+    attn_impl: str | None = None,
     seed: int = 0,
     verbose: bool = True,
 ) -> tuple[EditPipeline, dict]:
     """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg)."""
+    if attn_impl is None:
+        from pbe_tpu.ops.attention import default_attn_impl
+
+        attn_impl = default_attn_impl()
     model, raw = build_from_yaml(config_path, dtype=dtype, attn_impl=attn_impl,
                                  remat=False)
     variables = init_variables(model, seed=seed)

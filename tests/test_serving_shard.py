@@ -1,0 +1,83 @@
+"""Multi-chip batch serving: sharded pipeline == unsharded, plus the DDPM
+ancestral sampler sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
+from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.models.unet import UNetConfig
+from pbe_tpu.models.vae import AutoencoderKLConfig
+from pbe_tpu.pipelines.inference import EditPipeline
+from pbe_tpu.samplers import ddpm_ancestral_sample
+from pbe_tpu.schedules import DiffusionSchedule
+
+
+def _pipeline():
+    model = PaintByExample(
+        unet_config=UNetConfig(model_channels=8, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               num_heads=2, context_dim=768, use_checkpoint=False),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 8, "ch_mult": [1, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": 16},
+            embed_dim=4),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1, num_heads=2,
+                                  mlp_dim=32, patch_size=8, image_size=16),
+            mapper_layers=1),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 16, 16, 3)), jnp.ones((1, 16, 16, 1)),
+        jnp.zeros((1, 16, 16, 3)), rng,
+        method=PaintByExample.initialize_all,
+    )
+    variables = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(0).standard_normal(p.shape)
+        .astype(np.float32), variables)
+    return model, variables
+
+
+def _inputs(b):
+    g = np.random.default_rng(0)
+    image = g.uniform(-1, 1, (b, 16, 16, 3)).astype(np.float32)
+    mask = np.ones((b, 16, 16, 1), np.float32)
+    mask[:, 4:12, 4:12] = 0.0
+    ref = g.standard_normal((b, 16, 16, 3)).astype(np.float32)
+    return image, mask, ref
+
+
+def test_sharded_serving_matches_single_device():
+    model, variables = _pipeline()
+    image, mask, ref = _inputs(8)
+    x_T = np.random.default_rng(1).standard_normal((8, 8, 8, 4)).astype(np.float32)
+    kw = dict(steps=3, scale=5.0, seed=0, x_T=x_T)
+
+    plain = EditPipeline(model, variables).edit_batch(image, mask, ref, **kw)
+    sharded_pipe = EditPipeline(model, variables).shard()
+    sharded = sharded_pipe.edit_batch(image, mask, ref, **kw)
+    np.testing.assert_allclose(plain, sharded, atol=2e-4)
+
+
+def test_ddpm_ancestral_runs_and_terminates():
+    sched = DiffusionSchedule.create(20, "linear", 0.00085, 0.0120)
+
+    def eps(x9, t):
+        return 0.1 * x9[..., :4]
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    x0 = ddpm_ancestral_sample(
+        eps, sched, x_T, jnp.zeros_like(x_T), jnp.zeros((1, 4, 4, 1)),
+        jax.random.PRNGKey(1),
+    )
+    assert x0.shape == x_T.shape
+    assert np.isfinite(np.asarray(x0)).all()
+    # deterministic given rng
+    x0b = ddpm_ancestral_sample(
+        eps, sched, x_T, jnp.zeros_like(x_T), jnp.zeros((1, 4, 4, 1)),
+        jax.random.PRNGKey(1),
+    )
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x0b))
