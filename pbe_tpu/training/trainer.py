@@ -92,6 +92,7 @@ class Trainer:
         )
         self.eval_step = jax.jit(make_eval_step(model))
 
+        self._sample_pipeline = None
         ckpt_dir = Path(logdir).absolute() / "checkpoints"
         self.ckpt_mgr = ocp.CheckpointManager(
             ckpt_dir,
@@ -162,6 +163,34 @@ class Trainer:
                     break
             epoch += 1
         self.ckpt_mgr.wait_until_finished()
+
+    def log_images(
+        self, batch: dict, outdir: str | None = None, steps: int = 50,
+        scale: float = 5.0, sampler: str = "ddim", seed: int = 0,
+    ):
+        """Sample edits with the current weights and save 6-panel grids —
+        the reference's validation-time log_images
+        (latent_diffusion.py:1020-1123, sample at CFG scale 5)."""
+        from pbe_tpu.pipelines.batch import infer_batch, visualize_batch
+        from pbe_tpu.pipelines.inference import EditPipeline
+        from pbe_tpu.training.partition import merge_params
+
+        merged = {"params": merge_params(self.state.params, self.state.frozen)}
+        if self._sample_pipeline is None:
+            self._sample_pipeline = EditPipeline(self.model, merged)
+        else:
+            self._sample_pipeline.variables = merged
+        arrays = {k: np.asarray(v) for k, v in batch.items()
+                  if isinstance(v, (np.ndarray, jnp.ndarray))}
+        preds = infer_batch(
+            self._sample_pipeline, arrays, steps=steps, scale=scale,
+            sampler=sampler, seed=seed,
+        )
+        out = outdir or os.path.join(
+            self.logdir, "samples", f"step_{int(self.state.step):08d}"
+        )
+        visualize_batch(arrays, preds, out, ids=batch.get("id"))
+        return preds
 
     def validate(self, val_loader: Iterable, max_batches: int = 50) -> dict:
         agg: dict[str, list[float]] = {}

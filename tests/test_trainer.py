@@ -81,3 +81,24 @@ def test_fit_checkpoint_resume(tmp_path):
     p_old = jax.tree.leaves(trainer.state.params)[0]
     p_new = jax.tree.leaves(trainer2.state.params)[0]
     assert p_old.shape == p_new.shape
+
+
+@pytest.mark.slow
+def test_log_images(tmp_path):
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, 16, 16, 3)), jnp.ones((1, 16, 16, 1)),
+        jnp.zeros((1, 224, 224, 3)), rng,
+        method=PaintByExample.initialize_all,
+    )
+    trainer = Trainer(model, variables, base_lr=1e-4,
+                      logdir=str(tmp_path / "run"), zero_shard=False,
+                      num_devices=1)
+    ds = SyntheticDataset()
+    batch = {k: np.stack([ds[i][k] for i in range(2)]) for k in ds[0]}
+    preds = trainer.log_images(batch, steps=2)
+    assert preds.shape == (2, 16, 16, 3)
+    import glob
+    outs = glob.glob(str(tmp_path / "run" / "samples" / "*" / "grid_*.png"))
+    assert len(outs) == 2
