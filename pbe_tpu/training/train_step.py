@@ -57,13 +57,19 @@ def make_optimizer(
     base_lr: float = 1e-5,
     scheduler: Callable | None = None,
     weight_decay: float = 0.01,
+    mu_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW (torch-default betas/eps/wd, matching ddpm.py:460-465's fused
-    AdamW) with the LR-multiplier schedule folded in."""
+    AdamW) with the LR-multiplier schedule folded in.
+
+    mu_dtype=jnp.bfloat16 halves the first-moment memory — useful for
+    single-chip training of the ~1B-trainable-param v1 model (the reference
+    needed 8 GPUs + ZeRO-3 + CPU offload; one 16GB chip is tight)."""
     mult = scheduler or default_scheduler()
     return optax.adamw(
         learning_rate=lambda step: base_lr * mult(step),
         b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay,
+        mu_dtype=mu_dtype,
     )
 
 

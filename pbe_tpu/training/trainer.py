@@ -60,10 +60,11 @@ class Trainer:
         max_to_keep: int = 5,
         seed: int = 0,
         num_devices: int | None = None,
+        mu_dtype=None,
     ):
         self.model = model
         self.logdir = logdir
-        self.tx = make_optimizer(base_lr=base_lr)
+        self.tx = make_optimizer(base_lr=base_lr, mu_dtype=mu_dtype)
         self.state = create_train_state(model, variables, self.tx, use_ema=use_ema)
         devices = jax.devices()[:num_devices] if num_devices else None
         self.mesh = make_mesh(devices)

@@ -33,6 +33,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="torch .ckpt to initialize from (SD-v1-4 9ch surgery "
                         "output or a trained PBE checkpoint)")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--bf16_moments", action="store_true",
+                   help="keep Adam first moments in bf16 (fits single-chip "
+                        "512^2 training of the ~1B-trainable-param model)")
     p.add_argument("--precision", choices=["full", "autocast"], default="autocast")
     p.add_argument("--val_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=50)
@@ -76,6 +79,7 @@ def main() -> None:
     trainer = Trainer(
         model, variables, base_lr=base_lr, logdir=opt.logdir,
         use_ema=opt.use_ema, seed=opt.seed,
+        mu_dtype=jnp.bfloat16 if opt.bf16_moments else None,
     )
     if opt.resume and trainer.restore():
         print(f"resumed from step {int(trainer.state.step)}")

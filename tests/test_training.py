@@ -185,3 +185,32 @@ def test_zero_sharded_opt_state_runs(model_and_vars):
     batch_d = jax.device_put(batch, bsh)
     s2, metrics = step_fn(state_d, batch_d, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cosine_schedulers_reference_shapes():
+    """LambdaWarmUpCosineScheduler(2) values at key points
+    (lr_scheduler.py:4-78)."""
+    from pbe_tpu.training.lr_schedule import (
+        LambdaWarmUpCosineScheduler,
+        LambdaWarmUpCosineScheduler2,
+    )
+
+    s = LambdaWarmUpCosineScheduler(
+        warm_up_steps=100, lr_min=0.1, lr_max=1.0, lr_start=0.0,
+        max_decay_steps=1100,
+    )
+    np.testing.assert_allclose(float(s(0)), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(s(50)), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(s(100)), 1.0, rtol=1e-5)  # cos(0)
+    np.testing.assert_allclose(float(s(600)), 0.55, rtol=1e-4)  # cos(pi/2) mid
+    np.testing.assert_allclose(float(s(1100)), 0.1, rtol=1e-4)  # cos(pi) floor
+    np.testing.assert_allclose(float(s(5000)), 0.1, rtol=1e-4)  # clamped
+
+    s2 = LambdaWarmUpCosineScheduler2(
+        warm_up_steps=[10, 10], f_min=[0.2, 0.2], f_max=[1.0, 1.0],
+        f_start=[0.0, 0.0], cycle_lengths=[100, 100],
+    )
+    np.testing.assert_allclose(float(s2(5)), 0.5, rtol=1e-5)
+    np.testing.assert_allclose(float(s2(10)), 1.0, rtol=1e-5)
+    # second cycle restarts the warmup
+    np.testing.assert_allclose(float(s2(105)), 0.5, rtol=1e-5)
