@@ -138,11 +138,30 @@ class Trainer:
         val_every: int = 1000,
         ckpt_every: int = 1000,
     ) -> None:
+        # preemption handling (SURVEY §5 gap: the reference had none): on
+        # SIGTERM/SIGINT finish the current step, checkpoint, exit cleanly;
+        # a later --resume restores from that checkpoint.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _handler(signum, frame):
+            preempted["flag"] = True
+            print(f"signal {signum}: checkpointing and stopping...", flush=True)
+
+        old_handlers = {
+            s: signal.signal(s, _handler) for s in (signal.SIGTERM, signal.SIGINT)
+        }
+
         step = int(self.state.step)
         epoch = 0
         t0 = time.time()
         while step < max_steps and (max_epochs is None or epoch < max_epochs):
+            if preempted["flag"]:
+                break
             for batch in train_loader:
+                if preempted["flag"]:
+                    break
                 self.state, metrics = self.train_step(
                     self.state, self._put_batch(batch), self.rng
                 )
@@ -163,6 +182,10 @@ class Trainer:
                 if step >= max_steps:
                     break
             epoch += 1
+        if preempted["flag"]:
+            self.save()
+        for s, h in old_handlers.items():
+            signal.signal(s, h)
         self.ckpt_mgr.wait_until_finished()
 
     def log_images(

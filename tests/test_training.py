@@ -214,3 +214,30 @@ def test_cosine_schedulers_reference_shapes():
     np.testing.assert_allclose(float(s2(10)), 1.0, rtol=1e-5)
     # second cycle restarts the warmup
     np.testing.assert_allclose(float(s2(105)), 0.5, rtol=1e-5)
+
+
+def test_vae_train_step_runs_and_improves_recon():
+    from pbe_tpu.models.vae import AutoencoderKL
+    from pbe_tpu.training.vae_train import (
+        PatchDiscriminator, create_vae_train_state, make_vae_train_step,
+    )
+
+    vae = AutoencoderKL(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=3, embed_dim=3)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 16, 16, 3))
+    vae_params = vae.init(rng, x0, rng, sample=True)
+    disc = PatchDiscriminator(ch=8, n_layers=2)
+    state, tx = create_vae_train_state(vae, vae_params, disc, rng,
+                                       image_size=16, lr=1e-3)
+    step = jax.jit(make_vae_train_step(vae, disc, tx, disc_start=2))
+    g = np.random.default_rng(0)
+    images = jnp.asarray(g.uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    recs = []
+    for i in range(8):
+        state, m = step(state, images, jax.random.PRNGKey(5))
+        recs.append(float(m["rec"]))
+        assert np.isfinite(recs[-1])
+    assert recs[-1] < recs[0]
+    assert int(state.step) == 8
+    assert np.isfinite(float(m["d_loss"]))
