@@ -45,22 +45,26 @@ def _attention_xla(q, k, v):
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     n_k = k_ref.shape[1]  # block shape is (1, N, Dp)
     num_blocks = n_k // block_k
-    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, Dp)
+    # keep q/k/v in their native dtype (bf16 in production) so the MXU runs
+    # at bf16 rate; accumulate in f32 via preferred_element_type. Upcasting
+    # the operands would silently force 8x-slower f32 matmuls.
+    q = q_ref[0]  # (Bq, Dp)
     bq, dp = q.shape
 
     def body(i, carry):
         m, l, acc = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Bq, Bk)
+        ) * scale  # (Bq, Bk) f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l, acc
 
