@@ -38,20 +38,24 @@ class CLIPImageEmbedder:
                  projection: np.ndarray | None = None, seed: int = 0):
         self.tower = config.build()
         if variables is None:
-            variables = self.tower.init(
+            variables = jax.jit(self.tower.init)(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, config.image_size, config.image_size, 3)),
             )
         self.variables = variables
         self.projection = None if projection is None else jnp.asarray(projection)
+        use_proj = self.projection is not None
 
-        def embed(x):
-            _, pooled = self.tower.apply(self.variables, x)
-            if self.projection is not None:
-                pooled = pooled @ self.projection
+        # weights are runtime args, NOT closure constants — closing over them
+        # would bake hundreds of MB into the compiled program
+        def embed(variables, proj, x):
+            _, pooled = self.tower.apply(variables, x)
+            if use_proj:
+                pooled = pooled @ proj
             return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
 
-        self._embed = jax.jit(embed)
+        jitted = jax.jit(embed)
+        self._embed = lambda x: jitted(self.variables, self.projection, x)
 
     def __call__(self, images01: np.ndarray) -> np.ndarray:
         """(B,224,224,3) in [0,1] -> (B,D) unit embeddings."""

@@ -130,10 +130,13 @@ def make_inception_feature_fn(
         sd = {k: v.numpy() for k, v in sd.items()}
         variables = convert_inception_state_dict(sd)
     else:
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3))
         )
-    return jax.jit(lambda x: model.apply(variables, jnp.asarray(x)))
+    # weights as runtime args (closure constants would be baked into the
+    # compiled program and can exceed remote-compile request limits)
+    jitted = jax.jit(lambda v, x: model.apply(v, x))
+    return lambda x: jitted(variables, jnp.asarray(x))
 
 
 def fid_between_dirs(
