@@ -89,3 +89,45 @@ def test_param_tree_has_reference_block_names(tiny_unet):
     assert "out_2" in keys and "time_embed_0" in keys
     # tiny config: 1 res block, 2 levels -> input 0..3 (conv, res+attn, down, res+attn)
     assert "input_blocks_3_1" in keys
+
+
+def test_v1_param_count_matches_reference_scale():
+    """The v1 UNet must land at the SD-v1 ~860M parameter scale (9ch first
+    conv adds 320*5*3*3 = 14.4k over the 4ch SD UNet)."""
+    import numpy as np
+    from pbe_tpu.models.unet import UNetConfig
+
+    unet = UNetConfig().build()
+    x = jnp.zeros((1, 8, 8, 9))
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, x, jnp.zeros((1,)), jnp.zeros((1, 1, 768))),
+        jax.random.PRNGKey(0),
+    )
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    # reference SD-v1 UNet is ~859.5M; ours drops attn2.to_q/to_k
+    # (16 blocks x (320*320 + 768*320-ish)) ~ 7.5M less
+    assert 830e6 < n < 875e6, n
+
+
+def test_v1_unet_block_structure():
+    """12 input blocks, 3-module middle, 12 output blocks (openaimodel.py
+    construction with v1.yaml geometry)."""
+    from pbe_tpu.models.unet import UNetConfig
+
+    unet = UNetConfig().build()
+    x = jnp.zeros((1, 8, 8, 9))
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, x, jnp.zeros((1,)), jnp.zeros((1, 1, 768))),
+        jax.random.PRNGKey(0),
+    )
+    keys = set(shapes["params"].keys())
+    n_input = len({k for k in keys if k.startswith("input_blocks_")})
+    n_output = len({k for k in keys if k.startswith("output_blocks_")})
+    n_middle = len({k for k in keys if k.startswith("middle_block_")})
+    # input: conv_in + 11 block modules split over sub-indices
+    assert {f"input_blocks_{i}_0" for i in range(12)} <= keys
+    assert "input_blocks_12_0" not in keys
+    assert n_middle == 3
+    assert {f"output_blocks_{i}_0" for i in range(12)} <= keys
+    # attention present at ds 1,2,4 but not at ds 8 (input_blocks 10,11)
+    assert "input_blocks_7_1" in keys and "input_blocks_10_1" not in keys
