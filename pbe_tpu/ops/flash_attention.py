@@ -42,37 +42,47 @@ def _attention_xla(q, k, v):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    n_k = k_ref.shape[1]  # block shape is (1, N, Dp)
-    num_blocks = n_k // block_k
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float):
+    """Grid-blocked flash attention: grid = (batch*heads, q-blocks, k-blocks)
+    with the k axis innermost; the online-softmax state (m, l, acc) lives in
+    VMEM scratch and is carried across k iterations of the same output block.
+    VMEM holds only one (q, k, v) block triple at a time, so the footprint is
+    independent of sequence length (the previous full-K/V-resident version
+    OOMed 16MB VMEM at batch 8 / 16384 tokens)."""
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
     # keep q/k/v in their native dtype (bf16 in production) so the MXU runs
     # at bf16 rate; accumulate in f32 via preferred_element_type. Upcasting
     # the operands would silently force 8x-slower f32 matmuls.
-    q = q_ref[0]  # (Bq, Dp)
-    bq, dp = q.shape
+    q = q_ref[0]   # (Bq, Dp)
+    kb = k_ref[0]  # (Bk, Dp)
+    vb = v_ref[0]
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, Bk) f32
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[...] = m_new
+    l_scr[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    def body(i, carry):
-        m, l, acc = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, Bk) f32
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l, acc
-
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, dp), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
 
 
 def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512):
@@ -90,21 +100,29 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512):
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    grid = (bh, n // block_q)
+    grid = (bh, n // block_q, n // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        functools.partial(_flash_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((bh, n, dp), v.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, dp), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(q, k, v)
     return out[..., :d]
 
