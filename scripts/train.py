@@ -71,7 +71,9 @@ def main() -> None:
     train_loader = data.train_dataloader()
     val_loader = data.val_dataloader()
 
-    base_lr = model_cfg.base_learning_rate
+    # base_learning_rate sits beside (not inside) model.params in v1.yaml
+    base_lr = raw["model"].get("base_learning_rate",
+                               model_cfg.base_learning_rate)
     if opt.scale_lr:
         base_lr = base_lr * len(jax.devices()) * data.batch_size
         print(f"scaled LR: {base_lr:.2e}")
