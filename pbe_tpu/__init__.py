@@ -18,3 +18,17 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def load_pipeline(*args, **kwargs):
+    """Convenience re-export: pbe_tpu.pipelines.loading.load_pipeline."""
+    from pbe_tpu.pipelines.loading import load_pipeline as _lp
+
+    return _lp(*args, **kwargs)
+
+
+def build_from_yaml(*args, **kwargs):
+    """Convenience re-export: pbe_tpu.models.pbe.build_from_yaml."""
+    from pbe_tpu.models.pbe import build_from_yaml as _b
+
+    return _b(*args, **kwargs)

@@ -78,13 +78,16 @@ def create_train_state(
     variables: dict,
     tx: optax.GradientTransformation,
     use_ema: bool = False,
+    copy: bool = True,
 ) -> TrainState:
+    """copy=True protects the caller's `variables` from donation (the train
+    step donates the state and device_put may alias) at the cost of a second
+    copy of the ~5GB parameter set. Pass copy=False when the caller discards
+    `variables` — required headroom for single-chip full-geometry training."""
     trainable, frozen = split_params(variables["params"])
-    # copy leaves: the train step donates the state, and device_put to an
-    # identical sharding may alias rather than copy — without the copy the
-    # caller's `variables` buffers would be deleted by the first step
-    trainable = jax.tree.map(jnp.array, trainable)
-    frozen = jax.tree.map(jnp.array, frozen)
+    if copy:
+        trainable = jax.tree.map(jnp.array, trainable)
+        frozen = jax.tree.map(jnp.array, frozen)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=trainable,

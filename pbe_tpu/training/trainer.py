@@ -61,11 +61,15 @@ class Trainer:
         seed: int = 0,
         num_devices: int | None = None,
         mu_dtype=None,
+        consume_variables: bool = False,
     ):
         self.model = model
         self.logdir = logdir
         self.tx = make_optimizer(base_lr=base_lr, mu_dtype=mu_dtype)
-        self.state = create_train_state(model, variables, self.tx, use_ema=use_ema)
+        self.state = create_train_state(
+            model, variables, self.tx, use_ema=use_ema,
+            copy=not consume_variables,
+        )
         devices = jax.devices()[:num_devices] if num_devices else None
         self.mesh = make_mesh(devices)
         self.rng = jax.random.PRNGKey(seed)

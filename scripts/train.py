@@ -82,7 +82,9 @@ def main() -> None:
         model, variables, base_lr=base_lr, logdir=opt.logdir,
         use_ema=opt.use_ema, seed=opt.seed,
         mu_dtype=jnp.bfloat16 if opt.bf16_moments else None,
+        consume_variables=True,  # single-chip HBM headroom; variables die here
     )
+    del variables
     if opt.resume and trainer.restore():
         print(f"resumed from step {int(trainer.state.step)}")
 
