@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbe_tpu.models.pbe import PaintByExample
-from pbe_tpu.samplers import ddim_sample, make_cfg_eps_fn, plms_sample
+from pbe_tpu.samplers import (
+    ddim_sample,
+    ddpm_ancestral_sample,
+    make_cfg_eps_fn,
+    plms_sample,
+)
 from pbe_tpu.schedules import SamplerSchedule
 
 
@@ -45,7 +50,12 @@ class EditPipeline:
 
     # -- jitted body --------------------------------------------------------
     def _build(self, steps: int, sampler: str, eta: float):
-        sched = SamplerSchedule.create(self.model.schedule, steps, eta=eta)
+        # the ancestral sampler walks the full DDPM chain and has no use for
+        # the DDIM subsequence tables
+        sched = (
+            SamplerSchedule.create(self.model.schedule, steps, eta=eta)
+            if sampler in ("plms", "ddim") else None
+        )
         model = self.model
 
         @functools.partial(jax.jit, donate_argnums=())
@@ -85,6 +95,11 @@ class EditPipeline:
                 x0 = ddim_sample(
                     eps_fn, sched, x_T, z_inpaint, m_lat,
                     rng=r_sample if eta > 0 else None,
+                )
+            elif sampler == "ddpm":
+                # full-chain ancestral sampling; `steps` is ignored (all T)
+                x0 = ddpm_ancestral_sample(
+                    eps_fn, model.schedule, x_T, z_inpaint, m_lat, r_sample
                 )
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")

@@ -91,3 +91,17 @@ def test_fixed_code_reproducible(pipeline):
     a = pipeline.edit_batch(image, mask, ref, steps=3, x_T=x_T, seed=1)
     b = pipeline.edit_batch(image, mask, ref, steps=3, x_T=x_T, seed=1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_ddpm_ancestral_sampler_in_pipeline(pipeline):
+    image, mask, ref = _inputs()
+    # tiny model has timesteps=1000 by default; use a short-chain model copy
+    import dataclasses
+
+    short = dataclasses.replace(pipeline.model, timesteps=8)
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    p = EditPipeline(short, pipeline.variables)
+    out = p.edit_batch(image, mask, ref, steps=8, sampler="ddpm", seed=3)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
