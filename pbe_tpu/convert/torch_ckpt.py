@@ -23,7 +23,7 @@ reference's universal ``strict=False`` loading (ddpm.py:245-260):
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Iterable, Mapping
+from typing import Any, Callable, Mapping
 
 import numpy as np
 

@@ -6,7 +6,6 @@ every entry point has a pure-numpy fallback so the package works without it.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -24,7 +24,6 @@ Returns the canonical batch dict used by pbe_tpu.training.train_step:
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

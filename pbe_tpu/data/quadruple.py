@@ -8,7 +8,6 @@ file paths; source is masked, cropped to a random square around the mask
 from __future__ import annotations
 
 import csv
-from pathlib import Path
 
 import numpy as np
 from PIL import Image

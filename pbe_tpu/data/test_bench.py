@@ -10,7 +10,6 @@ Mask PNGs are white-in-the-edit-region; the keep mask is their inverse.
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

@@ -10,18 +10,13 @@ CLIPModel state_dict via the converter (bring your own file, no egress).
 """
 from __future__ import annotations
 
-import dataclasses
-import pathlib
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from pbe_tpu.data.augment import clip_preprocess
 from pbe_tpu.data.masks import mask_bbox
-from pbe_tpu.models.clip_vit import CLIPVisionConfig, CLIPVisionTower
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
 
 
 VIT_B32 = CLIPVisionConfig(

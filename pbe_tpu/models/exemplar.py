@@ -20,7 +20,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pbe_tpu.models.clip_vit import CLIPVisionConfig, CLIPVisionTower
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
 from pbe_tpu.ops.norms import LayerNormF32
 
 

@@ -23,7 +23,6 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pbe_tpu import config as config_lib
 from pbe_tpu.models.exemplar import ExemplarEncoderConfig

@@ -18,8 +18,6 @@ bit-equivalent and skips both N×1 matmuls and the softmax.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

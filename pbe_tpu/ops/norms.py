@@ -17,7 +17,6 @@ read/written in lane order. The math is identical.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ import os
 from pathlib import Path
 
 import numpy as np
-from PIL import Image
 
 from pbe_tpu.data import transforms as T
 from pbe_tpu.data.masks import bbox_mask

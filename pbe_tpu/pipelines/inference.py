@@ -18,12 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pbe_tpu.models.pbe import PaintByExample
-from pbe_tpu.samplers import (
-    ddim_sample,
-    ddpm_ancestral_sample,
-    make_cfg_eps_fn,
-    plms_sample,
-)
+from pbe_tpu.samplers import ddim_sample, ddpm_ancestral_sample, plms_sample
 from pbe_tpu.schedules import SamplerSchedule
 
 

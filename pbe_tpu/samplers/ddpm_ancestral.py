@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pbe_tpu.samplers.cfg import EpsFn
 from pbe_tpu.schedules import DiffusionSchedule

@@ -23,7 +23,6 @@ import orbax.checkpoint as ocp
 from pbe_tpu.models.pbe import PaintByExample
 from pbe_tpu.parallel import batch_sharding, make_mesh, replicated, zero_shard_opt_state
 from pbe_tpu.training.train_step import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_optimizer,
