@@ -61,10 +61,12 @@ class Trainer:
         num_devices: int | None = None,
         mu_dtype=None,
         consume_variables: bool = False,
+        scheduler=None,
     ):
         self.model = model
         self.logdir = logdir
-        self.tx = make_optimizer(base_lr=base_lr, mu_dtype=mu_dtype)
+        self.tx = make_optimizer(base_lr=base_lr, mu_dtype=mu_dtype,
+                                 scheduler=scheduler)
         self.state = create_train_state(
             model, variables, self.tx, use_ema=use_ema,
             copy=not consume_variables,

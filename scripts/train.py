@@ -78,11 +78,18 @@ def main() -> None:
         base_lr = base_lr * len(jax.devices()) * data.batch_size
         print(f"scaled LR: {base_lr:.2e}")
 
+    # LR-multiplier schedule from the YAML (v1: LambdaLinearScheduler with a
+    # 10k-step warmup, configs/v1.yaml:21-28); dotlist-overridable
+    scheduler = None
+    if model_cfg.scheduler_config:
+        scheduler = config_lib.instantiate_from_config(model_cfg.scheduler_config)
+
     trainer = Trainer(
         model, variables, base_lr=base_lr, logdir=opt.logdir,
         use_ema=opt.use_ema, seed=opt.seed,
         mu_dtype=jnp.bfloat16 if opt.bf16_moments else None,
         consume_variables=True,  # single-chip HBM headroom; variables die here
+        scheduler=scheduler,
     )
     del variables
     if opt.resume and trainer.restore():
