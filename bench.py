@@ -26,6 +26,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "plms")
 ATTN = os.environ.get("BENCH_ATTN", "pallas")  # 'pallas' | 'xla'
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
 
 
 def main() -> None:
@@ -54,9 +55,20 @@ def main() -> None:
         x_T = jax.random.normal(k, (BATCH, 64, 64, 4), dt)
         rng = jax.random.PRNGKey(321)
         scale = jnp.asarray(5.0, jnp.float32)
-        fn = pipeline._fn(STEPS, SAMPLER, 0.0)
+        fn = pipeline._fn(STEPS, SAMPLER, 0.0, True)
         args = (pipeline.variables, image, mask, ref, x_T, scale, rng)
-        out = fn(*args)  # compile + warm
+        # explicit lower/compile: one compilation reused for timing AND
+        # XLA cost analysis (MFU accounting)
+        compiled = fn.lower(*args).compile()
+        try:
+            analysis = compiled.cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            total_flops = float(analysis.get("flops", float("nan")))
+        except Exception:
+            total_flops = float("nan")
+        fn = compiled
+        out = fn(*args)  # warm
         _ = float(jnp.mean(out))
         times = []
         for _ in range(REPEATS):
@@ -69,12 +81,21 @@ def main() -> None:
     p50 = float(np.median(times))
     latency_per_edit = p50 / BATCH
     baseline = BASELINE_LATENCY_S * (STEPS / 50)  # target scales with steps
+    mfu = (
+        round(total_flops / (p50 * PEAK_TFLOPS * 1e12), 4)
+        if np.isfinite(total_flops) else None
+    )
     print(json.dumps({
         "metric": f"512^2 edits/sec/chip ({STEPS}-step {SAMPLER.upper()}, "
                   f"bf16, batch {BATCH})",
         "value": round(BATCH / p50, 4),
         "unit": "edits/s",
         "vs_baseline": round(baseline / latency_per_edit, 4),
+        "p50_latency_s": round(latency_per_edit, 4),
+        "mfu": mfu,
+        "program_tflops": (
+            round(total_flops / 1e12, 2) if np.isfinite(total_flops) else None
+        ),
     }))
 
 

@@ -112,9 +112,13 @@ class OpenImagesDataset:
 
         image = image01 * 2.0 - 1.0
         source = image * keep_mask
-        image, source, keep_mask = crop_square_around_mask(
-            image, source, keep_mask, rng
+        # Crop around the EDIT mask (the object region) — passing the keep
+        # mask would make the bbox span the whole image and degenerate the
+        # 10-40%-padded object-centered crop into a fixed max-square crop.
+        image, source, edit_mask = crop_square_around_mask(
+            image, source, edit_mask, rng
         )
+        keep_mask = 1.0 - edit_mask
         s = self.image_size
         image = _resize_hwc((image + 1) / 2, s) * 2.0 - 1.0
         source = _resize_hwc((source + 1) / 2, s) * 2.0 - 1.0

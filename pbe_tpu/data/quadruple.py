@@ -48,15 +48,17 @@ class QuadrupleDataset:
         keep = (m >= 0.5).astype(np.float32)[..., None]  # white = keep source
 
         tgt = tgt * 2 - 1
-        src = (src * 2 - 1) * keep
+        src = src * 2 - 1
         if self.crop:
-            tgt, src, keep = crop_square_around_mask(tgt, src, keep, rng)
+            # crop centers on the EDIT region (1 - keep), not the keep mask
+            tgt, src, edit = crop_square_around_mask(tgt, src, 1.0 - keep, rng)
+            keep = 1.0 - edit
 
         s = self.image_size
         tgt = _resize_hwc((tgt + 1) / 2, s) * 2 - 1
         src = _resize_hwc((src + 1) / 2, s) * 2 - 1
         keep = (_resize_hwc(keep, s) > 0.5).astype(np.float32)
-        src = src * keep
+        inpaint = src * keep
 
         ref_img = Image.open(row["ref"]).convert("RGB")
         if self.augment:
@@ -68,7 +70,8 @@ class QuadrupleDataset:
 
         return {
             "image": tgt.astype(np.float32),
-            "inpaint_image": src.astype(np.float32),
+            "source": src.astype(np.float32),
+            "inpaint_image": inpaint.astype(np.float32),
             "mask": keep,
             "ref": ref,
         }

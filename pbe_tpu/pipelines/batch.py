@@ -49,15 +49,26 @@ def visualize_batch(
     ids: list[str] | None = None,
     do_save: bool = True,
 ) -> list[np.ndarray]:
-    """Build (and optionally save) the 6-panel grids."""
+    """Build (and optionally save) the 6-panel grids.
+
+    Panel order matches r4_run_inference_batch.py:446-475:
+    [before | mask | inpaint | ref | GT | pred]. 'before' is the source
+    image (batch['source'] when the dataset distinguishes source from
+    target, e.g. QuadrupleDataset); 'GT' is always batch['image'] (the
+    target). When no 'source' key exists the two coincide by construction.
+    """
     os.makedirs(outdir, exist_ok=True)
     image01 = T.unnormalize(np.asarray(batch["image"]))
+    source01 = (
+        T.unnormalize(np.asarray(batch["source"]))
+        if "source" in batch else image01
+    )
     inpaint01 = T.unnormalize(np.asarray(batch["inpaint_image"]))
     mask01 = np.repeat(np.asarray(batch["mask"]), 3, axis=-1)
     ref01 = np.clip(T.unnormalize_clip(np.asarray(batch["ref"])), 0, 1)
     grids = []
     for i in range(len(preds)):
-        panels = [image01[i], 1.0 - mask01[i], inpaint01[i], ref01[i],
+        panels = [source01[i], 1.0 - mask01[i], inpaint01[i], ref01[i],
                   image01[i], preds[i]]
         grid = T.hstack_grid(panels)
         grids.append(grid)

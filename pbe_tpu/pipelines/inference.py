@@ -6,7 +6,12 @@ run the S-step CFG sampler scan, VAE-decode — zero host round-trips inside
 (the reference runs this as ~102 separate CUDA dispatch regions from Python:
 scripts/inference.py:305-346).
 
-Guidance scale is a traced scalar: changing it does NOT recompile.
+Guidance scale is a traced scalar: changing it does NOT recompile — except
+the scale == 1 case, which is specialized at trace time to a single
+(non-doubled) UNet call per step, halving the FLOPs of an unguided edit
+(the reference always pays the 2x-batched CFG forward; its own uc=None
+fast path, plms.py:183-184, is unreachable from scripts/inference.py:323
+whenever scale != 1).
 """
 from __future__ import annotations
 
@@ -44,7 +49,7 @@ class EditPipeline:
         return self
 
     # -- jitted body --------------------------------------------------------
-    def _build(self, steps: int, sampler: str, eta: float):
+    def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True):
         # the ancestral sampler walks the full DDPM chain and has no use for
         # the DDIM subsequence tables
         sched = (
@@ -65,24 +70,30 @@ class EditPipeline:
                 mask, (mask.shape[0], *hw, 1), "bilinear"
             ).astype(z_inpaint.dtype)
             c = model.apply(variables, ref, method=PaintByExample.get_conditioning)
-            uc = model.apply(
-                variables, image.shape[0], method=PaintByExample.uncond_vector
-            )
 
             def apply_fn(x9, t, ctx):
                 return model.apply(
                     variables, x9, t, ctx, method=PaintByExample.apply_model
                 )
 
-            # scale is traced: build the CFG closure with symbolic scale
-            ctx2 = jnp.concatenate([uc.astype(c.dtype), c], axis=0)
-
-            def eps_fn(x9, t):
-                e = apply_fn(
-                    jnp.concatenate([x9, x9], 0), jnp.concatenate([t, t], 0), ctx2
+            if cfg:
+                uc = model.apply(
+                    variables, image.shape[0], method=PaintByExample.uncond_vector
                 )
-                e_uc, e_c = jnp.split(e, 2, axis=0)
-                return e_uc + scale * (e_c - e_uc)
+                # scale is traced: build the CFG closure with symbolic scale
+                ctx2 = jnp.concatenate([uc.astype(c.dtype), c], axis=0)
+
+                def eps_fn(x9, t):
+                    e = apply_fn(
+                        jnp.concatenate([x9, x9], 0), jnp.concatenate([t, t], 0), ctx2
+                    )
+                    e_uc, e_c = jnp.split(e, 2, axis=0)
+                    return e_uc + scale * (e_c - e_uc)
+            else:
+                # scale == 1 specialization: guidance is a no-op, run the UNet
+                # once per step at batch B instead of 2B
+                def eps_fn(x9, t):
+                    return apply_fn(x9, t, c)
 
             if sampler == "plms":
                 x0 = plms_sample(eps_fn, sched, x_T, z_inpaint, m_lat)
@@ -105,8 +116,8 @@ class EditPipeline:
 
         return run
 
-    def _fn(self, steps: int, sampler: str, eta: float):
-        key = (steps, sampler, eta)
+    def _fn(self, steps: int, sampler: str, eta: float, cfg: bool):
+        key = (steps, sampler, eta, cfg)
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         return self._fns[key]
@@ -135,7 +146,7 @@ class EditPipeline:
             x_T = jax.random.normal(
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
-        fn = self._fn(int(steps), sampler, float(eta))
+        fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0)
         args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),

@@ -100,11 +100,14 @@ class Trainer:
 
         self._sample_pipeline = None
         ckpt_dir = Path(logdir).absolute() / "checkpoints"
+        # top-k selection on the reference's monitor (configs/v1.yaml:16,
+        # main.py:287): val/loss_simple_ema when EMA runs, else the raw loss
+        monitor = "val/loss_simple_ema" if use_ema else "val/loss_simple"
         self.ckpt_mgr = ocp.CheckpointManager(
             ckpt_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("val/loss_simple", float("inf")),
+                best_fn=lambda m: m.get(monitor, float("inf")),
                 best_mode="min",
             ),
         )
@@ -142,7 +145,20 @@ class Trainer:
         log_every: int = 50,
         val_every: int = 1000,
         ckpt_every: int = 1000,
+        sample_images: bool = False,
+        fid_feature_fn=None,
+        fid_batches: int = 2,
+        sample_steps: int = 50,
+        sample_sampler: str = "ddim",
     ) -> None:
+        """Train loop. With ``sample_images=True`` every validation also
+        samples 6-panel image grids via :meth:`log_images` (the reference's
+        validation-time log_images, latent_diffusion.py:1020-1123 via
+        main.py:287-295); passing ``fid_feature_fn`` (e.g. a jitted
+        InceptionV3 pool3 extractor, see pbe_tpu.evaltools.inception)
+        additionally streams ``val/fid_{global,local,ref}`` over
+        ``fid_batches`` validation batches into the JSONL metrics
+        (callback_fid.py:146-189)."""
         # preemption handling (SURVEY §5 gap: the reference had none): on
         # SIGTERM/SIGINT finish the current step, checkpoint, exit cleanly;
         # a later --resume restores from that checkpoint.
@@ -180,10 +196,20 @@ class Trainer:
                         f"{k}={v:.4f}" for k, v in m.items()), flush=True)
                 if val_loader is not None and step % val_every == 0:
                     val_m = self.validate(val_loader)
+                    if sample_images or fid_feature_fn is not None:
+                        val_m.update(self.sample_and_score(
+                            val_loader,
+                            fid_feature_fn=fid_feature_fn,
+                            fid_batches=fid_batches,
+                            steps=sample_steps,
+                            sampler=sample_sampler,
+                        ))
                     self.logger.log(step, val_m, prefix="val")
                     self.save({f"val/{k}": v for k, v in val_m.items()})
+                    t0 = time.time()  # keep steps_per_sec train-only
                 elif step % ckpt_every == 0:
                     self.save()
+                    t0 = time.time()
                 if step >= max_steps:
                     break
             epoch += 1
@@ -220,6 +246,35 @@ class Trainer:
         )
         visualize_batch(arrays, preds, out, ids=batch.get("id"))
         return preds
+
+    def sample_and_score(
+        self,
+        val_loader: Iterable,
+        fid_feature_fn=None,
+        fid_batches: int = 2,
+        steps: int = 50,
+        scale: float = 5.0,
+        sampler: str = "ddim",
+    ) -> dict:
+        """Sample edits on validation batches (saving 6-panel grids under
+        logdir/samples/step_*) and, given a feature fn, compute the
+        in-training FID trio. Returns {} or {'fid_global': ..., ...}."""
+        from pbe_tpu.evaltools.fid_callback import FIDTrioTracker
+
+        tracker = (
+            FIDTrioTracker(fid_feature_fn) if fid_feature_fn is not None else None
+        )
+        for i, batch in enumerate(val_loader):
+            if i >= fid_batches:
+                break
+            preds = self.log_images(
+                batch, steps=steps, scale=scale, sampler=sampler, seed=i,
+            )
+            if tracker is not None:
+                arrays = {k: np.asarray(v) for k, v in batch.items()
+                          if isinstance(v, (np.ndarray, jnp.ndarray))}
+                tracker.update(arrays, preds)
+        return tracker.compute() if tracker is not None else {}
 
     def validate(self, val_loader: Iterable, max_batches: int = 50) -> dict:
         agg: dict[str, list[float]] = {}

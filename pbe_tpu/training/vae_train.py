@@ -6,10 +6,23 @@ but never exercises them for PBE (lossconfig is torch.nn.Identity,
 configs/v1.yaml:68-69). This module rebuilds the *capability*:
 
   * reconstruction (L1 or L2) + KL with the reference's weighting shape
-  * optional PatchGAN discriminator with hinge loss and the adaptive
-    generator weight  d_weight = ||grad_rec|| / (||grad_gan|| + 1e-4)
-  * perceptual term is pluggable (LPIPS needs pretrained VGG weights, which
-    this zero-egress environment cannot fetch — pass any feature fn)
+  * optional PatchGAN discriminator with hinge loss and the ADAPTIVE
+    generator weight (losses/contperceptual.py:32-43):
+        d_weight = ||∇_last rec_loss|| / (||∇_last gan_loss|| + 1e-4),
+    clipped to [0, 1e4], detached, scaled by disc_weight — where `last` is
+    the decoder's final conv kernel. Computed here as two VJPs of a single
+    shared decode forward (cheaper than the reference's two full
+    autograd.grad passes).
+  * perceptual term is pluggable: use
+    pbe_tpu.training.perceptual.make_vgg_perceptual_fn with converted
+    torchvision VGG16 weights (LPIPS needs pretrained weights, which this
+    zero-egress environment cannot fetch at build time)
+
+Loss scaling note: the reference computes nll/kl as sum/batch; we use means
+(sum/batch/numel). The adaptive d_weight is proportional to the rec-loss
+gradient, so every term scales by the same 1/numel factor and the total loss
+is exactly the reference's divided by numel — same optimum, same relative
+weighting, absorbed by the learning rate.
 
 Two optimizers alternate per step exactly like the reference's
 optimizer_idx scheme.
@@ -23,8 +36,17 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
+from flax import traverse_util
 
-from pbe_tpu.models.vae import AutoencoderKL, diagonal_gaussian_kl
+from pbe_tpu.models.vae import (
+    AutoencoderKL,
+    diagonal_gaussian_kl,
+    sample_diagonal_gaussian,
+)
+
+# the reference's `last_layer`: decoder.conv_out.weight (autoencoder.py
+# passes self.decoder.conv_out.weight as last_layer)
+_LAST_LAYER = ("params", "decoder", "conv_out", "kernel")
 
 
 class PatchDiscriminator(nn.Module):
@@ -86,6 +108,43 @@ def create_vae_train_state(
     )
 
 
+def calculate_adaptive_weight(
+    vae: AutoencoderKL,
+    disc: PatchDiscriminator,
+    vae_params,
+    disc_params,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    rec_fn: Callable,
+    disc_weight: float = 0.5,
+) -> jnp.ndarray:
+    """d_weight = ||∇_last rec|| / (||∇_last gan|| + 1e-4), clip [0,1e4],
+    x disc_weight (contperceptual.py:32-43). `last` = decoder conv_out
+    kernel. Both gradients are VJPs of one shared decode forward."""
+    mean, logvar = vae.apply(vae_params, images, method=AutoencoderKL.encode)
+    z = sample_diagonal_gaussian(rng, mean, logvar)
+
+    flat = traverse_util.flatten_dict(vae_params)
+    last = flat[_LAST_LAYER]
+
+    def decode_of(kernel):
+        f2 = dict(flat)
+        f2[_LAST_LAYER] = kernel
+        return vae.apply(
+            traverse_util.unflatten_dict(f2), z, method=AutoencoderKL.decode
+        )
+
+    recon, decode_vjp = jax.vjp(decode_of, last)
+    d_rec = jax.grad(lambda r: jnp.mean(rec_fn(images, r)))(recon)
+    d_gan = jax.grad(lambda r: -jnp.mean(disc.apply(disc_params, r)))(recon)
+    (rec_g,) = decode_vjp(d_rec)
+    (gan_g,) = decode_vjp(d_gan)
+    d_weight = jnp.linalg.norm(rec_g.ravel()) / (
+        jnp.linalg.norm(gan_g.ravel()) + 1e-4
+    )
+    return jnp.clip(d_weight, 0.0, 1e4) * disc_weight
+
+
 def make_vae_train_step(
     vae: AutoencoderKL,
     disc: PatchDiscriminator,
@@ -96,9 +155,14 @@ def make_vae_train_step(
     rec_loss: str = "l1",
     perceptual_fn: Callable | None = None,
     perceptual_weight: float = 1.0,
+    adaptive_d_weight: bool = True,
 ):
     """Returns train_step(state, images, rng) alternating G/D like the
-    reference's optimizer_idx scheme (losses/contperceptual.py semantics)."""
+    reference's optimizer_idx scheme (losses/contperceptual.py semantics).
+
+    adaptive_d_weight=True (the reference default) rebalances the generator's
+    GAN term against the reconstruction term per step via the last-decoder-
+    layer gradient-norm ratio; False uses the fixed disc_weight."""
 
     def rec(x, y):
         if rec_loss == "l1":
@@ -109,12 +173,12 @@ def make_vae_train_step(
             e = e + perceptual_weight * perceptual_fn(x, y)
         return e
 
-    def g_loss_fn(vae_params, disc_params, images, rng, use_gan):
+    def g_loss_fn(vae_params, disc_params, images, rng, use_gan, d_weight):
         (recon, (mean, logvar)) = vae.apply(vae_params, images, rng, sample=True)
         rec_l = jnp.mean(rec(images, recon))
         kl_l = jnp.mean(diagonal_gaussian_kl(mean, logvar)) / images[0].size
         g_gan = -jnp.mean(disc.apply(disc_params, recon)) * use_gan
-        loss = rec_l + kl_weight * kl_l + disc_weight * g_gan
+        loss = rec_l + kl_weight * kl_l + d_weight * g_gan
         return loss, {"rec": rec_l, "kl": kl_l, "g_gan": g_gan, "recon": recon}
 
     def d_loss_fn(disc_params, vae_params, images, rng):
@@ -127,8 +191,17 @@ def make_vae_train_step(
     def train_step(state: VAETrainState, images: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         use_gan = (state.step >= disc_start).astype(jnp.float32)
+        if adaptive_d_weight:
+            # detached in the reference (contperceptual.py:41 .detach()) —
+            # computed outside the differentiated loss for the same effect
+            d_weight = calculate_adaptive_weight(
+                vae, disc, state.vae_params, state.disc_params, images, rng,
+                rec, disc_weight,
+            )
+        else:
+            d_weight = jnp.asarray(disc_weight, jnp.float32)
         (g_l, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.vae_params, state.disc_params, images, rng, use_gan
+            state.vae_params, state.disc_params, images, rng, use_gan, d_weight
         )
         g_upd, vae_opt = tx.update(g_grads, state.vae_opt, state.vae_params)
         vae_params = optax.apply_updates(state.vae_params, g_upd)
@@ -140,7 +213,7 @@ def make_vae_train_step(
         disc_params = optax.apply_updates(state.disc_params, d_upd)
 
         metrics = {"g_loss": g_l, "rec": aux["rec"], "kl": aux["kl"],
-                   "d_loss": d_l}
+                   "d_loss": d_l, "d_weight": d_weight}
         return (
             state.replace(step=state.step + 1, vae_params=vae_params,
                           disc_params=disc_params, vae_opt=vae_opt,

@@ -47,7 +47,7 @@ def main() -> None:
     rows = []
     for sampler in opt.samplers:
         for steps in opt.steps:
-            fn = pipeline._fn(steps, sampler, 0.0)
+            fn = pipeline._fn(steps, sampler, 0.0, True)
             args = (pipeline.variables, image, mask, ref, x_T, scale, rng)
             out = fn(*args)
             _ = float(jnp.mean(out))

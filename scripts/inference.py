@@ -9,6 +9,13 @@ Differences by design:
   * the diffusers safety checker (whose output the reference discards at
     :351) and the invisible-watermark stamp are omitted — both are
     CUDA/OpenCV-ecosystem extras outside the editing capability
+  * --n_iter actually loops the sampler n_iter times with an advancing RNG
+    (the reference snapshot defines the flag at :170 but never reads it),
+    and each sample beyond the first gets an indexed filename instead of
+    silently overwriting {stem}_{seed}.png. The first sample keeps the
+    reference's exact naming (:384) so downstream eval scripts still match.
+  * --n_imgs is accepted for flag parity but unused, exactly as in the
+    reference snapshot (:188; it belonged to a dataset-loop variant)
 """
 import argparse
 import os
@@ -71,7 +78,13 @@ def main() -> None:
     from pbe_tpu.pipelines.loading import load_pipeline
 
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
-    pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
+    # the reference's --config also defaults to "" (and test.sh passes it
+    # explicitly); fall back to the in-repo v1.yaml instead of crashing
+    config = opt.config or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "v1.yaml",
+    )
+    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype)
 
     os.makedirs(opt.outdir, exist_ok=True)
     sample_path = os.path.join(opt.outdir, "source")
@@ -100,48 +113,51 @@ def main() -> None:
             )
         )
 
-    t0 = time.time()
-    out = pipeline.edit_batch(
-        images, masks, refs,
-        steps=opt.ddim_steps,
-        scale=opt.scale,
-        sampler="plms" if opt.plms else "ddim",
-        eta=opt.ddim_eta,
-        seed=opt.seed,
-        x_T=x_T,
-    )
-    t_compile = time.time() - t0
-    t0 = time.time()
-    out = pipeline.edit_batch(
-        images, masks, refs, steps=opt.ddim_steps, scale=opt.scale,
-        sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
-        seed=opt.seed, x_T=x_T,
-    )
-    t_edit = time.time() - t0
-    print(f"first call (incl. compile): {t_compile:.2f}s; steady-state edit: "
-          f"{t_edit:.2f}s for batch {b} ({t_edit / b:.3f}s/edit)")
-
     inpaint = T.unnormalize(images * masks)
     src01 = T.unnormalize(images)
     ref01 = np.clip(T.unnormalize_clip(refs), 0, 1)
 
-    if not opt.skip_save:
+    times = []
+    for it in range(max(opt.n_iter, 1)):
+        t0 = time.time()
+        out = pipeline.edit_batch(
+            images, masks, refs,
+            steps=opt.ddim_steps,
+            scale=opt.scale,
+            sampler="plms" if opt.plms else "ddim",
+            eta=opt.ddim_eta,
+            seed=opt.seed + it,  # RNG advances across iterations
+            x_T=x_T,  # --fixed_code pins the start noise across iterations
+        )
+        times.append(time.time() - t0)
+
+        if opt.skip_save:
+            continue
         for i in range(b):
-            T.save_image(out[i], os.path.join(result_path, f"{stem}_{opt.seed}.png"))
-            T.save_image(
-                np.repeat(1.0 - masks[i], 3, axis=-1),
-                os.path.join(sample_path, f"{stem}_{opt.seed}_mask.png"),
-            )
-            T.save_image(src01[i], os.path.join(sample_path, f"{stem}_{opt.seed}_GT.png"))
-            T.save_image(
-                inpaint[i], os.path.join(sample_path, f"{stem}_{opt.seed}_inpaint.png")
-            )
-            T.save_image(ref01[i], os.path.join(sample_path, f"{stem}_{opt.seed}_ref.png"))
+            k = it * b + i  # global sample index
+            base = f"{stem}_{opt.seed}" + (f"_{k}" if k else "")
+            T.save_image(out[i], os.path.join(result_path, f"{base}.png"))
             if not opt.skip_grid:
                 grid = T.hstack_grid([src01[i], inpaint[i], ref01[i], out[i]])
+                T.save_image(grid, os.path.join(grid_path, f"grid-{base}.png"))
+            if k == 0:
+                # the inputs don't vary across samples; write them once
                 T.save_image(
-                    grid, os.path.join(grid_path, f"grid-{stem}_{opt.seed}.png")
+                    np.repeat(1.0 - masks[i], 3, axis=-1),
+                    os.path.join(sample_path, f"{base}_mask.png"),
                 )
+                T.save_image(src01[i], os.path.join(sample_path, f"{base}_GT.png"))
+                T.save_image(
+                    inpaint[i], os.path.join(sample_path, f"{base}_inpaint.png")
+                )
+                T.save_image(ref01[i], os.path.join(sample_path, f"{base}_ref.png"))
+
+    steady = times[1:] or times
+    print(
+        f"first call (incl. compile): {times[0]:.2f}s; steady-state edit: "
+        f"{np.mean(steady):.2f}s for batch {b} "
+        f"({np.mean(steady) / b:.3f}s/edit, {len(times)} iterations)"
+    )
 
     print(f"Your samples are ready and waiting for you here: \n{opt.outdir}")
 

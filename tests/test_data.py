@@ -66,6 +66,27 @@ def test_mask_bbox_and_square_crop():
     assert c.sum() == m.sum()  # whole mask inside the crop
 
 
+def test_crop_side_tracks_object_bbox():
+    # 60x50 object in a 512^2 image: the 10-40%-padded square crop must have
+    # side = 60*(1.1..1.4) -> [66, 84], NOT degenerate to min(h, w) = 512.
+    m = bbox_mask(512, 512, (100, 200, 160, 250))
+    img = np.zeros((512, 512, 3), np.float32)
+    for i in range(10):
+        a, _, c = crop_square_around_mask(img, img.copy(), m, np.random.default_rng(i))
+        assert 66 <= a.shape[0] <= 84, a.shape
+        assert c.sum() == m.sum()  # entire mask retained
+
+
+def test_openimages_crop_is_object_centered(openimages_dir):
+    # With the fixture's 60x50 bbox in a 96x128 image the padded crop side is
+    # 66-84 (< min(h, w) = 96), so the edit region must occupy a large
+    # fraction of the cropped frame — it cannot if the crop degenerates to
+    # the full max-square.
+    ds = OpenImagesDataset(str(openimages_dir), state="train", image_size=64)
+    fracs = [(1.0 - ds[i]["mask"]).mean() for i in range(3)]
+    assert max(fracs) > 0.35, fracs
+
+
 def test_augment_exemplar_shape_and_determinism():
     img = Image.fromarray(
         np.random.default_rng(0).integers(0, 255, (50, 70, 3), np.uint8)

@@ -35,8 +35,7 @@ def test_flash_gradients_match_xla(np_rng):
     v = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return (flash_attention(q, k, v) ** 2).sum()
+        return (flash_attention(q, k, v) ** 2).sum()
 
     def loss_ref(q, k, v):
         out = multi_head_attention(
@@ -45,10 +44,40 @@ def test_flash_gradients_match_xla(np_rng):
         )
         return (out ** 2).sum()
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # the context must cover the backward kernels too (traced at grad time)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 256, 2, 64),    # resident-forward geometry, aligned-ish head dim
+    (2, 512, 2, 40),    # padded head dim, multiple k blocks in backward
+])
+def test_fused_flash_backward_matches_xla(np_rng, shape):
+    """The fused Pallas dq/dk/dv kernels vs the XLA O(N^2) VJP."""
+    b, n, h, d = shape
+    q = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+    g = jnp.asarray(np_rng.standard_normal((b, n, h, d)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(flash_attention, q, k, v)
+        got = vjp(g)
+
+    def ref(q, k, v):
+        return multi_head_attention(
+            q.reshape(b, n, h * d), k.reshape(b, n, h * d),
+            v.reshape(b, n, h * d), num_heads=h,
+        ).reshape(b, n, h, d)
+
+    _, vjp_ref = jax.vjp(ref, q, k, v)
+    want = vjp_ref(g)
+    for a, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), atol=5e-4)
 
 
 def test_flash_bf16(np_rng):

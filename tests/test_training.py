@@ -241,3 +241,163 @@ def test_vae_train_step_runs_and_improves_recon():
     assert recs[-1] < recs[0]
     assert int(state.step) == 8
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_adaptive_d_weight_matches_full_model_gradients():
+    """calculate_adaptive_weight's decode-VJP shortcut must equal the
+    gradient-norm ratio computed independently via full-model jax.grad
+    (contperceptual.py:32-43 semantics)."""
+    from pbe_tpu.models.vae import AutoencoderKL, sample_diagonal_gaussian
+    from pbe_tpu.training.vae_train import (
+        PatchDiscriminator, calculate_adaptive_weight,
+    )
+
+    vae = AutoencoderKL(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=3, embed_dim=3)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((2, 16, 16, 3))
+    vae_params = vae.init(rng, x0, rng, sample=True)
+    disc = PatchDiscriminator(ch=8, n_layers=2)
+    disc_params = disc.init(rng, x0)
+    g = np.random.default_rng(3)
+    images = jnp.asarray(g.uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    rec = lambda x, y: jnp.abs(x - y)
+
+    got = float(calculate_adaptive_weight(
+        vae, disc, vae_params, disc_params, images, rng, rec, 0.5))
+
+    # independent: full-model gradient, then slice out the last-layer leaf
+    def recon_of(p):
+        mean, logvar = vae.apply(p, images, method=AutoencoderKL.encode)
+        z = sample_diagonal_gaussian(rng, mean, logvar)
+        return vae.apply(p, z, method=AutoencoderKL.decode)
+
+    rec_grads = jax.grad(lambda p: jnp.mean(rec(images, recon_of(p))))(vae_params)
+    gan_grads = jax.grad(
+        lambda p: -jnp.mean(disc.apply(disc_params, recon_of(p))))(vae_params)
+    leaf = lambda t: t["params"]["decoder"]["conv_out"]["kernel"]
+    want = float(
+        jnp.linalg.norm(leaf(rec_grads).ravel())
+        / (jnp.linalg.norm(leaf(gan_grads).ravel()) + 1e-4) * 0.5
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert got > 0
+
+
+def test_vae_train_step_with_adaptive_weight_and_perceptual():
+    from pbe_tpu.models.vae import AutoencoderKL
+    from pbe_tpu.training.perceptual import (
+        VGG16Features, make_vgg_perceptual_fn,
+    )
+    from pbe_tpu.training.vae_train import (
+        PatchDiscriminator, create_vae_train_state, make_vae_train_step,
+    )
+
+    vae = AutoencoderKL(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=3, embed_dim=3)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    vae_params = vae.init(rng, x0, rng, sample=True)
+    disc = PatchDiscriminator(ch=8, n_layers=2)
+    state, tx = create_vae_train_state(vae, vae_params, disc, rng,
+                                       image_size=32, lr=1e-3)
+    vgg_params = VGG16Features().init(jax.random.PRNGKey(1), x0)
+    pfn = make_vgg_perceptual_fn(vgg_params)
+    step = jax.jit(make_vae_train_step(
+        vae, disc, tx, disc_start=0, perceptual_fn=pfn,
+        perceptual_weight=0.1, adaptive_d_weight=True,
+    ))
+    g = np.random.default_rng(0)
+    images = jnp.asarray(g.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    for _ in range(3):
+        state, m = step(state, images, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["g_loss"]))
+    assert float(m["d_weight"]) > 0 and np.isfinite(float(m["d_weight"]))
+
+
+def test_vgg16_features_match_torchvision():
+    """Converted VGG16 weights produce the same feature taps (validates both
+    the flax tower and convert_torchvision_vgg16). torchvision is absent in
+    this image, so the `features` Sequential is constructed inline with the
+    exact torchvision layer layout — state_dict keys are identical."""
+    import torch
+    import torch.nn as tnn
+
+    from pbe_tpu.training.perceptual import (
+        VGG16Features, convert_torchvision_vgg16, _SHIFT, _SCALE,
+    )
+
+    torch.manual_seed(0)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, c_in = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(c_in, v, 3, padding=1), tnn.ReLU()]
+            c_in = v
+    tv = tnn.Sequential(*layers).eval()
+    sd = {f"features.{k}": v for k, v in tv.state_dict().items()}
+    params = convert_torchvision_vgg16(sd)
+
+    g = np.random.default_rng(0)
+    x = g.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    taps = VGG16Features().apply(params, jnp.asarray(x))
+
+    xt = torch.from_numpy(
+        np.transpose((x - _SHIFT) / _SCALE, (0, 3, 1, 2))).contiguous()
+    want = []
+    h = xt
+    taps_at = {3, 8, 15, 22, 29}  # relu indices ending each block
+    with torch.no_grad():
+        for i, layer in enumerate(tv):
+            h = layer(h)
+            if i in taps_at:
+                want.append(h)
+    assert len(taps) == len(want) == 5
+    for a, b in zip(taps, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.transpose(b.numpy(), (0, 2, 3, 1)), atol=1e-4)
+
+
+def test_zero_sharded_matches_replicated_trajectory(model_and_vars):
+    """ZeRO-sharded optimizer state must be a pure layout change: the loss
+    trajectory and final params over 5 steps match fully-replicated DP
+    (VERDICT round-1 item 9; the reference delegates this entirely to
+    DeepSpeed with no test, SURVEY.md section 4)."""
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=1e-3, scheduler=lambda n: jnp.asarray(1.0))
+    step_fn = make_train_step(model, tx)
+    batch = _batch(b=8)
+    mesh = make_mesh()
+    repl = replicated(mesh)
+    bsh = jax.tree.map(lambda _: batch_sharding(mesh), batch)
+    batch_d = jax.device_put(batch, bsh)
+
+    def run(opt_sharding):
+        state = create_train_state(model, variables, tx)
+        state_sh = state.replace(
+            step=repl,
+            params=jax.tree.map(lambda _: repl, state.params),
+            frozen=jax.tree.map(lambda _: repl, state.frozen),
+            opt_state=opt_sharding(state.opt_state),
+            ema=None,
+        )
+        step = jax.jit(step_fn, in_shardings=(state_sh, bsh, repl),
+                       out_shardings=(state_sh, repl))
+        state = jax.device_put(state, state_sh)
+        losses = []
+        for i in range(5):
+            state, m = step(state, batch_d, jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        return losses, state.params
+
+    losses_repl, params_repl = run(
+        lambda opt: jax.tree.map(lambda _: repl, opt))
+    losses_zero, params_zero = run(
+        lambda opt: zero_shard_opt_state(opt, mesh, min_size=1024))
+
+    np.testing.assert_allclose(losses_zero, losses_repl, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_repl), jax.tree.leaves(params_zero)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
