@@ -23,10 +23,94 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_LATENCY_S = 1.5  # BASELINE.md: 50-step 512^2 edit p50 target on v5e
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+SIZE = int(os.environ.get("BENCH_SIZE", "512"))  # 1024 = the stretch config
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "plms")
 ATTN = os.environ.get("BENCH_ATTN", "pallas")  # 'pallas' | 'xla'
+SCALE = float(os.environ.get("BENCH_SCALE", "5.0"))  # 1.0 = no-CFG fast path
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
+
+
+_FLOPS_PROBE = r"""
+import json, sys
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from pbe_tpu.models.pbe import PaintByExampleConfig, PaintByExample
+
+batch, size, steps, sampler, cfg = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+    sys.argv[5] == "1",
+)
+model = PaintByExampleConfig().build(dtype=jnp.bfloat16)
+bf = jnp.bfloat16
+var_shapes = jax.eval_shape(
+    lambda k, im, mk, rf: model.init(
+        k, im, mk, rf, jax.random.PRNGKey(1), method=PaintByExample.initialize_all
+    ),
+    jax.random.PRNGKey(0),
+    jax.ShapeDtypeStruct((1, size, size, 3), bf),
+    jax.ShapeDtypeStruct((1, size, size, 1), bf),
+    jax.ShapeDtypeStruct((1, 224, 224, 3), bf),
+)
+
+def flops_of(fn, *args):
+    ca = jax.jit(fn).lower(var_shapes, *args).cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca["flops"])
+
+lat = size // model.latent_downsample
+eb = 2 * batch if cfg else batch  # CFG doubles the UNet batch
+unet = flops_of(
+    lambda v, x, t, c: model.apply(v, x, t, c, method=PaintByExample.apply_model),
+    jax.ShapeDtypeStruct((eb, lat, lat, 9), bf),
+    jax.ShapeDtypeStruct((eb,), jnp.float32),
+    jax.ShapeDtypeStruct((eb, 1, 768), bf),
+)
+enc = flops_of(
+    lambda v, x, k: model.apply(v, x, k, method=PaintByExample.encode_first_stage),
+    jax.ShapeDtypeStruct((batch, size, size, 3), bf), jax.random.PRNGKey(0),
+)
+dec = flops_of(
+    lambda v, z: model.apply(v, z, method=PaintByExample.decode_first_stage),
+    jax.ShapeDtypeStruct((batch, lat, lat, 4), bf),
+)
+clip = flops_of(
+    lambda v, r: model.apply(v, r, method=PaintByExample.get_conditioning),
+    jax.ShapeDtypeStruct((batch, 224, 224, 3), bf),
+)
+# model calls per edit: PLMS peels a Heun double-call on step 0 (steps+1);
+# DDIM is one call per step; ancestral DDPM walks the full chain
+n_calls = {"plms": steps + 1, "ddim": steps, "ddpm": model.timesteps}[sampler]
+print(json.dumps({
+    "total_flops": unet * n_calls + enc + dec + clip,
+    "unet_call_tflops": unet / 1e12,
+    "n_unet_calls": n_calls,
+}))
+"""
+
+
+def _true_flops() -> dict | None:
+    """Per-program FLOPs with the sampler loop unrolled by hand.
+
+    The compiled program's cost_analysis() counts a lax.scan body ONCE, not
+    x trip count, so it under-reports a 50-step sampler ~8x. Instead this
+    lowers each pipeline stage abstractly on the CPU backend (a subprocess,
+    because this process's jax is already bound to the TPU) and sums
+    unoptimized-HLO FLOPs x call counts — the honest MFU numerator.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _FLOPS_PROBE, str(BATCH), str(SIZE),
+             str(STEPS), SAMPLER, "1" if SCALE != 1.0 else "0"],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -48,26 +132,17 @@ def main() -> None:
         # local PCIe); completion forced via a 4-byte scalar readback
         k = jax.random.PRNGKey(0)
         dt = jnp.bfloat16
-        image = jax.random.uniform(k, (BATCH, 512, 512, 3), dt, -1, 1)
-        mask = jnp.ones((BATCH, 512, 512, 1), dt)
-        mask = mask.at[:, 128:384, 128:384, :].set(0.0)
+        s, q = SIZE, SIZE // 4
+        image = jax.random.uniform(k, (BATCH, s, s, 3), dt, -1, 1)
+        mask = jnp.ones((BATCH, s, s, 1), dt)
+        mask = mask.at[:, q: 3 * q, q: 3 * q, :].set(0.0)
         ref = jax.random.normal(k, (BATCH, 224, 224, 3), dt)
-        x_T = jax.random.normal(k, (BATCH, 64, 64, 4), dt)
+        x_T = jax.random.normal(k, (BATCH, s // 8, s // 8, 4), dt)
         rng = jax.random.PRNGKey(321)
-        scale = jnp.asarray(5.0, jnp.float32)
-        fn = pipeline._fn(STEPS, SAMPLER, 0.0, True)
+        scale = jnp.asarray(SCALE, jnp.float32)
+        fn = pipeline._fn(STEPS, SAMPLER, 0.0, SCALE != 1.0)
         args = (pipeline.variables, image, mask, ref, x_T, scale, rng)
-        # explicit lower/compile: one compilation reused for timing AND
-        # XLA cost analysis (MFU accounting)
-        compiled = fn.lower(*args).compile()
-        try:
-            analysis = compiled.cost_analysis()
-            if isinstance(analysis, list):
-                analysis = analysis[0]
-            total_flops = float(analysis.get("flops", float("nan")))
-        except Exception:
-            total_flops = float("nan")
-        fn = compiled
+        fn = fn.lower(*args).compile()
         out = fn(*args)  # warm
         _ = float(jnp.mean(out))
         times = []
@@ -81,22 +156,20 @@ def main() -> None:
     p50 = float(np.median(times))
     latency_per_edit = p50 / BATCH
     baseline = BASELINE_LATENCY_S * (STEPS / 50)  # target scales with steps
-    mfu = (
-        round(total_flops / (p50 * PEAK_TFLOPS * 1e12), 4)
-        if np.isfinite(total_flops) else None
-    )
-    print(json.dumps({
-        "metric": f"512^2 edits/sec/chip ({STEPS}-step {SAMPLER.upper()}, "
+    flops = _true_flops()
+    record = {
+        "metric": f"{SIZE}^2 edits/sec/chip ({STEPS}-step {SAMPLER.upper()}, "
                   f"bf16, batch {BATCH})",
         "value": round(BATCH / p50, 4),
         "unit": "edits/s",
         "vs_baseline": round(baseline / latency_per_edit, 4),
         "p50_latency_s": round(latency_per_edit, 4),
-        "mfu": mfu,
-        "program_tflops": (
-            round(total_flops / 1e12, 2) if np.isfinite(total_flops) else None
-        ),
-    }))
+    }
+    if flops:
+        record["mfu"] = round(flops["total_flops"] / (p50 * PEAK_TFLOPS * 1e12), 4)
+        record["program_tflops"] = round(flops["total_flops"] / 1e12, 2)
+        record["unet_call_tflops"] = round(flops["unet_call_tflops"], 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
