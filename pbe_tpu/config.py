@@ -22,8 +22,14 @@ _TARGET_ALIASES: dict[str, str] = {
     "ldm.models.diffusion.ddpm.LatentDiffusion": "pbe_tpu.models.pbe.PaintByExampleConfig",
     "ldm.models.diffusion.latent_diffusion.LatentDiffusion": "pbe_tpu.models.pbe.PaintByExampleConfig",
     "ldm.modules.diffusionmodules.openaimodel.UNetModel": "pbe_tpu.models.unet.UNetConfig",
+    "ldm.modules.diffusionmodules.openaimodel.EncoderUNetModel": "pbe_tpu.models.encoder_unet.EncoderUNetConfig",
     "ldm.models.autoencoder.AutoencoderKL": "pbe_tpu.models.vae.AutoencoderKLConfig",
     "ldm.modules.encoders.modules.FrozenCLIPImageEmbedder": "pbe_tpu.models.exemplar.ExemplarEncoderConfig",
+    # legacy SD text/conditioning encoders (x_transformer path)
+    "ldm.modules.encoders.modules.BERTEmbedder": "pbe_tpu.models.text_transformer.BERTEmbedderConfig",
+    "ldm.modules.encoders.modules.TransformerEmbedder": "pbe_tpu.models.text_transformer.TransformerEmbedderConfig",
+    "ldm.modules.encoders.modules.ClassEmbedder": "pbe_tpu.models.text_transformer.ClassEmbedder",
+    "ldm.modules.encoders.modules.SpatialRescaler": "pbe_tpu.models.text_transformer.SpatialRescaler",
     "torch.nn.Identity": "pbe_tpu.config.Identity",
     # schedulers
     "ldm.lr_scheduler.LambdaLinearScheduler": "pbe_tpu.training.lr_schedule.LambdaLinearScheduler",
