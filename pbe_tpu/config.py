@@ -40,6 +40,17 @@ _TARGET_ALIASES: dict[str, str] = {
     "ldm.data.open-images.PBEQuadrupleDataset": "pbe_tpu.data.quadruple.QuadrupleDataset",
     "ldm.data.test_bench_dataset.COCOImageDataset": "pbe_tpu.data.test_bench.COCOEEDataset",
     "main.DataModuleFromConfig": "pbe_tpu.data.loader.DataModuleConfig",
+    # legacy SD datasets
+    "ldm.data.imagenet.ImageNetTrain": "pbe_tpu.data.legacy.ImageNetTrain",
+    "ldm.data.imagenet.ImageNetValidation": "pbe_tpu.data.legacy.ImageNetValidation",
+    "ldm.data.imagenet.ImageNetSRTrain": "pbe_tpu.data.legacy.ImageNetSRTrain",
+    "ldm.data.imagenet.ImageNetSRValidation": "pbe_tpu.data.legacy.ImageNetSRValidation",
+    "ldm.data.lsun.LSUNChurchesTrain": "pbe_tpu.data.legacy.LSUNChurchesTrain",
+    "ldm.data.lsun.LSUNChurchesValidation": "pbe_tpu.data.legacy.LSUNChurchesValidation",
+    "ldm.data.lsun.LSUNBedroomsTrain": "pbe_tpu.data.legacy.LSUNBedroomsTrain",
+    "ldm.data.lsun.LSUNBedroomsValidation": "pbe_tpu.data.legacy.LSUNBedroomsValidation",
+    "ldm.data.lsun.LSUNCatsTrain": "pbe_tpu.data.legacy.LSUNCatsTrain",
+    "ldm.data.lsun.LSUNCatsValidation": "pbe_tpu.data.legacy.LSUNCatsValidation",
 }
 
 
