@@ -94,6 +94,30 @@ class PaintByExample(nn.Module):
     def decode_first_stage(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.first_stage_model.decode(z / self.scale_factor)
 
+    # ---- fold/unfold tiled first stage (split_input_params path) ----------
+    def encode_first_stage_tiled(self, x: jnp.ndarray, spec) -> jnp.ndarray:
+        """Tiled deterministic encode for resolutions beyond one-shot VAE
+        memory (latent_diffusion.py:571-610 split path). spec: a
+        pbe_tpu.ops.tiling.TilingSpec with ks/stride in IMAGE pixels,
+        divisible by the latent downsample factor."""
+        from pbe_tpu.ops.tiling import tiled_apply
+
+        f = self.latent_downsample
+        return tiled_apply(
+            lambda p: self.scale_factor * self.first_stage_model.encode(p)[0],
+            x, spec, df=f,
+        )
+
+    def decode_first_stage_tiled(self, z: jnp.ndarray, spec) -> jnp.ndarray:
+        """Tiled decode (latent_diffusion.py:444-508 split path). spec
+        ks/stride in LATENT pixels."""
+        from pbe_tpu.ops.tiling import tiled_apply
+
+        return tiled_apply(
+            lambda p: self.first_stage_model.decode(p / self.scale_factor),
+            z, spec, uf=self.latent_downsample,
+        )
+
     # ---- conditioning ----------------------------------------------------
     def get_conditioning(self, ref: jnp.ndarray) -> jnp.ndarray:
         """ref: (B,224,224,3) CLIP-normalized -> (B,1,768) context token
