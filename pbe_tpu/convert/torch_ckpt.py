@@ -49,7 +49,9 @@ _DROP_PATTERNS = [
     r"^model_ema\.", r"^first_stage_model\.loss\.",
     r"\.attn2\.to_q\.", r"\.attn2\.to_k\.",
     r"position_ids$", r"^cond_ids$", r"^ddim_",
-    r"^model\.diffusion_model\.add_resbolck\.",  # off in v1.yaml:46
+    # My_ResBlock declares a skip_connection its forward never uses
+    # (openaimodel.py:351-390) — dead weight, not instantiated here
+    r"^model\.diffusion_model\.add_resbolck\.1\.0\.skip_connection\.",
 ]
 _DROP_RE = re.compile("|".join(_DROP_PATTERNS))
 
@@ -133,7 +135,8 @@ def _convert_unet(rest: list[str], leaf: str, shape, root) -> tuple | None:
         )
 
     # blocks: input_blocks.N.S... / output_blocks.N.S... / middle_block.S...
-    m = re.match(r"(input_blocks|output_blocks)\.(\d+)\.(\d+)(?:\.(.*))?$", body)
+    # (+ the fork's add_resbolck front block, openaimodel.py:634-655)
+    m = re.match(r"(input_blocks|output_blocks|add_resbolck)\.(\d+)\.(\d+)(?:\.(.*))?$", body)
     if m:
         blocks, n, s, sub = m.group(1), m.group(2), m.group(3), m.group(4)
         prefix = root + (f"{blocks}_{n}_{s}",)

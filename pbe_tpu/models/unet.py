@@ -97,6 +97,30 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class MyResBlock(nn.Module):
+    """The fork's front-block residual variant (openaimodel.py:278-390,
+    use_scale_shift_norm=False, no up/down — the only configuration the fork
+    instantiates at :644-652). Quirk preserved: `_forward` returns the
+    zero-init 4-channel out conv WITHOUT adding the skip (openaimodel.py:390),
+    so the declared `skip_connection` parameters are dead weight — like the
+    single-token cross-attention's to_q/to_k they are not instantiated here
+    and the checkpoint converter drops them."""
+
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        h = GroupNorm32(name="in_layers_0")(x)
+        h = nn.silu(h)
+        h = _conv(self.out_ch, 3, self.dtype, "in_layers_2")(h)
+        emb_out = _dense(self.out_ch, self.dtype, "emb_layers_1")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+        h = GroupNorm32(name="out_layers_0")(h)
+        h = nn.silu(h)
+        return _conv(4, 3, self.dtype, "out_layers_3", zero_init=True)(h)
+
+
 class CrossAttention(nn.Module):
     """QKV attention with linear projections (attention.py:189-230).
 
@@ -227,6 +251,7 @@ class UNetModel(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    add_conv_in_front_of_unet: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -235,6 +260,14 @@ class UNetModel(nn.Module):
         t_emb = timestep_embedding(t, mc)
         emb = _dense(time_embed_dim, self.dtype, "time_embed_0")(t_emb.astype(self.dtype))
         emb = _dense(time_embed_dim, self.dtype, "time_embed_2")(nn.silu(emb))
+
+        if self.add_conv_in_front_of_unet:
+            # fork front block (openaimodel.py:634-655, 874-876): 9-ch input
+            # -> conv to model_channels -> MyResBlock compressing to the
+            # 4-channel in_channels the main trunk then consumes. Torch's
+            # 'add_resbolck' typo kept for state_dict name compatibility.
+            h0 = _conv(mc, 3, self.dtype, "add_resbolck_0_0")(x.astype(self.dtype))
+            x = MyResBlock(mc, self.dtype, name="add_resbolck_1_0")(h0, emb)
 
         res_block = nn.remat(ResBlock) if self.remat else ResBlock
         spatial_tf = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
@@ -313,11 +346,8 @@ class UNetConfig:
 
     def build(self, dtype: Any = jnp.float32, attn_impl: str = "xla",
               remat: bool | None = None) -> UNetModel:
-        if self.add_conv_in_front_of_unet:
-            raise NotImplementedError(
-                "add_conv_in_front_of_unet is off in v1.yaml:46 and unsupported"
-            )
         return UNetModel(
+            add_conv_in_front_of_unet=self.add_conv_in_front_of_unet,
             in_channels=self.in_channels,
             model_channels=self.model_channels,
             out_channels=self.out_channels,

@@ -348,3 +348,64 @@ def test_ddim_trajectory_parity():
     got = np.asarray(ddim_sample(eps_fn, ssched, *jargs))
     scale = max(np.abs(want.numpy()).max(), 1e-3)
     np.testing.assert_allclose(got, _nhwc(want), atol=5e-4 * scale, rtol=0)
+
+
+def test_unet_front_block_parity():
+    """add_conv_in_front_of_unet: the fork's 9->model_channels conv +
+    My_ResBlock front block compressing to the 4-channel trunk input
+    (openaimodel.py:634-655, 874-876). The dead My_ResBlock skip_connection
+    is dropped by the converter."""
+    geo = THIN
+    torch.manual_seed(11)
+    tnet = TorchUNet(
+        image_size=geo["latent"], in_channels=4, out_channels=4,
+        model_channels=geo["model_channels"],
+        num_res_blocks=geo["num_res_blocks"],
+        attention_resolutions=list(geo["attention_resolutions"]),
+        channel_mult=list(geo["channel_mult"]), num_heads=geo["num_heads"],
+        use_spatial_transformer=True, transformer_depth=1,
+        context_dim=geo["context_dim"], use_checkpoint=False, legacy=False,
+        add_conv_in_front_of_unet=True,
+    ).eval()
+    _randomize_zero_params(tnet, seed=11)
+
+    sd = {f"model.diffusion_model.{k}": v.numpy()
+          for k, v in tnet.state_dict().items()}
+    params, dropped = convert_state_dict(sd)
+    assert all(
+        ".attn2.to_q." in k or ".attn2.to_k." in k
+        or ".add_resbolck.1.0.skip_connection." in k
+        for k in dropped
+    ), dropped
+
+    jnet = UNetModel(
+        in_channels=4, model_channels=geo["model_channels"], out_channels=4,
+        num_res_blocks=geo["num_res_blocks"],
+        attention_resolutions=tuple(geo["attention_resolutions"]),
+        channel_mult=tuple(geo["channel_mult"]), num_heads=geo["num_heads"],
+        transformer_depth=1, context_dim=geo["context_dim"], remat=False,
+        add_conv_in_front_of_unet=True,
+    )
+    jparams = {"params": params["params"]["model"]}
+
+    g = np.random.default_rng(5)
+    n = geo["latent"]
+    x = g.standard_normal((2, n, n, 9)).astype(np.float32)
+    t = np.asarray([7, 911], np.float32)
+    c = g.standard_normal((2, 1, geo["context_dim"])).astype(np.float32)
+
+    shapes = jax.eval_shape(
+        jnet.init, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(c))
+    missing, unexpected, mismatched = validate_against(jparams, shapes)
+    assert not missing and not unexpected and not mismatched, (
+        missing[:5], unexpected[:5], mismatched[:5])
+
+    got = np.asarray(jnet.apply(jparams, jnp.asarray(x), jnp.asarray(t),
+                                jnp.asarray(c)))
+    with torch.no_grad():
+        want = _nhwc(tnet(_nchw(x), timesteps=torch.from_numpy(t),
+                          context=torch.from_numpy(c)))
+    scale = np.abs(want).max()
+    assert scale > 1e-3
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
