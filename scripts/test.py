@@ -48,9 +48,11 @@ def main() -> None:
         raw = {**raw, **config_lib.load_config(path)}
     config_lib.merge_dotlist(raw, [u for u in unknown if "=" in u])
 
+    from pbe_tpu.ops.attention import default_attn_impl
+
     model_cfg = config_lib.instantiate_from_config(raw["model"])
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
-    model = model_cfg.build(dtype=dtype)
+    model = model_cfg.build(dtype=dtype, attn_impl=default_attn_impl())
     variables = init_variables(model, seed=opt.seed)
     if opt.ckpt:
         variables = overlay_checkpoint(variables, opt.ckpt)

@@ -59,9 +59,13 @@ def main() -> None:
     overrides = [u for u in unknown if "=" in u and not u.startswith("-")]
     config_lib.merge_dotlist(raw, overrides)
 
+    from pbe_tpu.ops.attention import default_attn_impl
+
     model_cfg = config_lib.instantiate_from_config(raw["model"])
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
-    model = model_cfg.build(dtype=dtype, remat=True)
+    # 'pallas' on TPU (incl. the fused flash backward), 'xla' on CPU
+    model = model_cfg.build(dtype=dtype, remat=True,
+                            attn_impl=default_attn_impl())
 
     variables = init_variables(model, seed=opt.seed)
     if opt.ckpt:
