@@ -28,6 +28,9 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 SAMPLER = os.environ.get("BENCH_SAMPLER", "plms")
 ATTN = os.environ.get("BENCH_ATTN", "pallas")  # 'pallas' | 'xla'
 SCALE = float(os.environ.get("BENCH_SCALE", "5.0"))  # 1.0 = no-CFG fast path
+# '1': cast >=2-d params (conv/dense kernels) to bf16, halving the ~3.4 GB of
+# parameter HBM traffic per UNet call; 1-d norm affines stay fp32 (islands)
+BF16_PARAMS = os.environ.get("BENCH_BF16_PARAMS", "0") == "1"
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
 
 
@@ -125,6 +128,11 @@ def main() -> None:
     model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl=ATTN)
     with contextlib.redirect_stdout(io.StringIO()):
         variables = init_variables(model, seed=0)
+        if BF16_PARAMS:
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x,
+                variables,
+            )
         pipeline = EditPipeline(model, variables)
 
         # inputs created on device: measures chip latency, not the dev
