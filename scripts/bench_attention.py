@@ -45,16 +45,30 @@ def main() -> None:
     block_configs = [(256, 512), (512, 512), (256, 1024), (512, 1024),
                      (1024, 1024)]
 
+    ITERS = 50
+
     def timeit(fn, *args):
-        out = fn(*args)
-        float(jnp.mean(out))  # force completion through the tunnel
+        """Per-call time with the tunnel round-trip amortized away: ITERS
+        dependency-chained calls (each iteration's output becomes the next
+        query) inside ONE jitted program, a single 4-byte readback at the
+        end. A bare per-call loop here measures the axon tunnel latency
+        (~100 ms), not the ~1 ms kernel."""
+
+        @jax.jit
+        def chained(q, k, v):
+            def body(_, carry):
+                return fn(carry, k, v).astype(carry.dtype)
+            return jax.lax.fori_loop(0, ITERS, body, q)
+
+        out = chained(*args)
+        float(jnp.mean(out))  # warm + force completion through the tunnel
         ts = []
         for _ in range(opt.repeats):
             t0 = time.perf_counter()
-            out = fn(*args)
+            out = chained(*args)
             float(jnp.mean(out))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.median(ts)) / ITERS
 
     for name, bh, n, d in shapes:
         k = jax.random.PRNGKey(0)
