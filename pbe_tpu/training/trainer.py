@@ -13,7 +13,7 @@ import json
 import os
 import time
 from pathlib import Path
-from typing import Any, Iterable
+from typing import Any, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +135,19 @@ class Trainer:
             arrays, jax.tree.map(lambda _: self._batch_sharding, arrays)
         )
 
+    def _device_batches(self, loader: Iterable) -> Iterator[dict]:
+        """One-batch-ahead device_put: batch i+1's host->device transfer is
+        dispatched before batch i's step is consumed, so H2D rides under the
+        (async-dispatched) running step instead of serializing with it."""
+        pending = None
+        for batch in loader:
+            d = self._put_batch(batch)
+            if pending is not None:
+                yield pending
+            pending = d
+        if pending is not None:
+            yield pending
+
     # -- loops ---------------------------------------------------------------
     def fit(
         self,
@@ -180,13 +193,15 @@ class Trainer:
         while step < max_steps and (max_epochs is None or epoch < max_epochs):
             if preempted["flag"]:
                 break
-            for batch in train_loader:
+            for dbatch in self._device_batches(train_loader):
                 if preempted["flag"]:
                     break
                 self.state, metrics = self.train_step(
-                    self.state, self._put_batch(batch), self.rng
+                    self.state, dbatch, self.rng
                 )
-                step = int(self.state.step)
+                # host-side mirror of state.step: reading the device counter
+                # here would sync every iteration and stall async dispatch
+                step += 1
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["steps_per_sec"] = log_every / max(time.time() - t0, 1e-9)
