@@ -117,6 +117,8 @@ def _true_flops() -> dict | None:
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -25,6 +25,8 @@ PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

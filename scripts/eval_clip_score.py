@@ -17,6 +17,8 @@ from PIL import Image
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--result_dir", required=True)
     p.add_argument("--test_bench_dir", default="test_bench")

@@ -14,6 +14,8 @@ from PIL import Image
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("path")
     p.add_argument("--gmm", required=True, help="pretrained sklearn GMM pickle")

@@ -69,6 +69,8 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     opt = get_parser().parse_args()
 
     import jax

@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--base", nargs="*", default=["configs/v1.yaml"])
     p.add_argument("--ckpt", type=str, default="")

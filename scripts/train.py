@@ -43,6 +43,8 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     opt, unknown = get_parser().parse_known_args()
 
     import jax
