@@ -33,6 +33,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="dir to write results to")
     p.add_argument("--skip_grid", action="store_true",
                    help="do not save a grid, only individual samples")
+    p.add_argument("--no_watermark", action="store_true",
+                   help="skip the invisible 'Paint-by-Example' DWT-DCT "
+                        "watermark the reference embeds in every result")
     p.add_argument("--skip_save", action="store_true",
                    help="do not save individual samples (speed measurements)")
     p.add_argument("--ddim_steps", type=int, default=50,
@@ -138,7 +141,16 @@ def main() -> None:
         for i in range(b):
             k = it * b + i  # global sample index
             base = f"{stem}_{opt.seed}" + (f"_{k}" if k else "")
-            T.save_image(out[i], os.path.join(result_path, f"{base}.png"))
+            result = out[i]
+            if not opt.no_watermark:
+                # the reference stamps every result with the invisible
+                # "Paint-by-Example" watermark (scripts/inference.py:25-27,
+                # 377-384); numpy DWT-DCT reimplementation
+                from pbe_tpu.utils.watermark import embed_watermark
+
+                u8 = np.clip(np.rint(result * 255.0), 0, 255).astype(np.uint8)
+                result = embed_watermark(u8).astype(np.float32) / 255.0
+            T.save_image(result, os.path.join(result_path, f"{base}.png"))
             if not opt.skip_grid:
                 grid = T.hstack_grid([src01[i], inpaint[i], ref01[i], out[i]])
                 T.save_image(grid, os.path.join(grid_path, f"grid-{base}.png"))
