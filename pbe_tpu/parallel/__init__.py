@@ -1,8 +1,11 @@
 from pbe_tpu.parallel.mesh import (
     make_mesh,
+    make_multislice_mesh,
+    multislice_batch_sharding,
     batch_sharding,
     replicated,
     zero_shard_opt_state,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "zero_shard_opt_state"]
+__all__ = ["make_mesh", "make_multislice_mesh", "batch_sharding",
+           "multislice_batch_sharding", "replicated", "zero_shard_opt_state"]

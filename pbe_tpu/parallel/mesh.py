@@ -27,6 +27,33 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_multislice_mesh(
+    num_slices: int, devices=None,
+    axis_names: tuple[str, str] = ("dcn", "data"),
+) -> Mesh:
+    """Two-axis mesh for multi-slice pods: the outer ``dcn`` axis spans
+    slices (data-center network), the inner ``data`` axis rides ICI within a
+    slice. Devices must be ordered slice-major (jax.devices() is, on real
+    multi-slice systems). Batch sharded over BOTH axes keeps the gradient
+    all-reduce hierarchical: XLA emits the intra-slice psum over ICI first,
+    then the small cross-slice reduction over DCN — the layout rule from the
+    scaling playbook (DESIGN.md: "a second mesh axis for DCN multi-slice is
+    a config change, not a redesign")."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) % num_slices:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {num_slices} slices"
+        )
+    arr = np.asarray(devices).reshape(num_slices, len(devices) // num_slices)
+    return Mesh(arr, axis_names)
+
+
+def multislice_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharded over (dcn, data) jointly — global batch = sum of
+    per-slice batches, matching single-axis DP semantics exactly."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -401,3 +401,40 @@ def test_zero_sharded_matches_replicated_trajectory(model_and_vars):
     np.testing.assert_allclose(losses_zero, losses_repl, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(params_repl), jax.tree.leaves(params_zero)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multislice_mesh_matches_single_axis(model_and_vars):
+    """(2 dcn x 4 data) hierarchical mesh: one train step equals the
+    single-axis 8-device DP step and the single-device step (the multi-slice
+    story is a mesh-shape change, not a semantics change)."""
+    from pbe_tpu.parallel import make_multislice_mesh, multislice_batch_sharding
+
+    model, variables = model_and_vars
+    tx = make_optimizer(base_lr=1e-3, scheduler=lambda n: jnp.asarray(1.0))
+    state = create_train_state(model, variables, tx)
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(1)
+    step_fn = make_train_step(model, tx)
+
+    s1, m1 = jax.jit(step_fn)(state, batch, rng)
+
+    mesh = make_multislice_mesh(num_slices=2)
+    assert mesh.shape == {"dcn": 2, "data": 4}
+    repl = NamedSharding(mesh, P())
+    bsh = multislice_batch_sharding(mesh)
+    state_sh = jax.tree.map(lambda _: repl, state)
+    batch_sh = jax.tree.map(lambda _: bsh, batch)
+    step_ms = jax.jit(step_fn, in_shardings=(state_sh, batch_sh, repl))
+    s2, m2 = step_ms(
+        jax.device_put(state, state_sh), jax.device_put(batch, batch_sh), rng
+    )
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_multislice_mesh_rejects_ragged():
+    from pbe_tpu.parallel import make_multislice_mesh
+
+    with pytest.raises(ValueError, match="slices"):
+        make_multislice_mesh(num_slices=3)
