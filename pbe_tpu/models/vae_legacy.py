@@ -16,6 +16,7 @@ VAE config has attn_resolutions=[].
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -274,7 +275,7 @@ class Upsampler(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         assert self.out_size >= self.in_size
-        num_blocks = int(jnp.log2(self.out_size // self.in_size)) + 1
+        num_blocks = int(math.log2(self.out_size // self.in_size)) + 1
         factor_up = 1.0 + (self.out_size % self.in_size)
         h = LatentRescaler(factor_up, self.in_channels, 2 * self.in_channels,
                            self.in_channels, dtype=self.dtype,
