@@ -47,13 +47,16 @@ _DROP_PATTERNS = [
     r"^betas$", r"^alphas_cumprod", r"^sqrt_", r"^log_one_minus",
     r"^posterior_", r"^lvlb_weights$", r"^logvar$",
     r"^model_ema\.", r"^first_stage_model\.loss\.",
-    r"\.attn2\.to_q\.", r"\.attn2\.to_k\.",
     r"position_ids$", r"^cond_ids$", r"^ddim_",
     # My_ResBlock declares a skip_connection its forward never uses
     # (openaimodel.py:351-390) — dead weight, not instantiated here
     r"^model\.diffusion_model\.add_resbolck\.1\.0\.skip_connection\.",
 ]
 _DROP_RE = re.compile("|".join(_DROP_PATTERNS))
+# attn2.to_q/to_k are provably unused ONLY under single-token conditioning
+# (softmax over one key is constant 1 — the PBE path); generic multi-token
+# cross-attention (e.g. SD text contexts) needs them
+_SINGLE_TOKEN_QK_RE = re.compile(r"\.attn2\.to_q\.|\.attn2\.to_k\.")
 
 
 def _norm_leaf(leaf: str) -> tuple[str, ...]:
@@ -87,9 +90,12 @@ _LINEAR_MODULES = {
 # everything else with a 4-D weight is a conv
 
 
-def _convert_key(key: str, shape: tuple[int, ...]) -> tuple[tuple[str, ...], Callable] | None:
+def _convert_key(key: str, shape: tuple[int, ...],
+                 single_token_context: bool = True) -> tuple[tuple[str, ...], Callable] | None:
     """Map one torch state_dict key to (flax path, transform). None = drop."""
     if _DROP_RE.search(key):
+        return None
+    if single_token_context and _SINGLE_TOKEN_QK_RE.search(key):
         return None
 
     if key == "learnable_vector":
@@ -127,6 +133,8 @@ def _convert_unet(rest: list[str], leaf: str, shape, root) -> tuple | None:
         return root + (f"time_embed_{m.group(1)}",) + _linear_leaf(leaf), (
             _t_linear if leaf == "weight" else _t_id
         )
+    if body == "label_emb":  # class-conditional embedding (openaimodel.py:631)
+        return root + ("label_emb", "embedding"), _t_id
     if body == "out.0":
         return root + ("out_0",) + _norm_leaf(leaf), _t_id
     if body == "out.2":
@@ -323,6 +331,7 @@ def convert_state_dict(
     state_dict: Mapping[str, Any],
     dtype: Any = np.float32,
     verbose: bool = False,
+    single_token_context: bool = True,
 ) -> tuple[dict, list[str]]:
     """Convert a full PBE torch state_dict to a ``{'params': ...}`` pytree.
 
@@ -332,7 +341,7 @@ def convert_state_dict(
     dropped: list[str] = []
     for key, value in state_dict.items():
         arr = np.asarray(value, dtype=dtype)
-        mapped = _convert_key(key, arr.shape)
+        mapped = _convert_key(key, arr.shape, single_token_context)
         if mapped is None:
             dropped.append(key)
             continue

@@ -252,14 +252,24 @@ class UNetModel(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     add_conv_in_front_of_unet: bool = False
+    num_classes: int | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, context: jnp.ndarray,
+                 y: jnp.ndarray | None = None) -> jnp.ndarray:
         mc = self.model_channels
         time_embed_dim = mc * 4
         t_emb = timestep_embedding(t, mc)
         emb = _dense(time_embed_dim, self.dtype, "time_embed_0")(t_emb.astype(self.dtype))
         emb = _dense(time_embed_dim, self.dtype, "time_embed_2")(nn.silu(emb))
+        if self.num_classes is not None:
+            # class-conditional ('adm') path: label embedding added to the
+            # time embedding (openaimodel.py:630-631, 862-870)
+            assert y is not None, "num_classes set but no y labels given"
+            emb = emb + nn.Embed(
+                self.num_classes, time_embed_dim, param_dtype=jnp.float32,
+                name="label_emb",
+            )(y).astype(emb.dtype)
 
         if self.add_conv_in_front_of_unet:
             # fork front block (openaimodel.py:634-655, 874-876): 9-ch input
@@ -343,11 +353,13 @@ class UNetConfig:
     use_checkpoint: bool = True
     legacy: bool = False
     add_conv_in_front_of_unet: bool = False
+    num_classes: int | None = None
 
     def build(self, dtype: Any = jnp.float32, attn_impl: str = "xla",
               remat: bool | None = None) -> UNetModel:
         return UNetModel(
             add_conv_in_front_of_unet=self.add_conv_in_front_of_unet,
+            num_classes=self.num_classes,
             in_channels=self.in_channels,
             model_channels=self.model_channels,
             out_channels=self.out_channels,
