@@ -1,3 +1,9 @@
+from pbe_tpu.parallel.distributed import (
+    host_local_to_global,
+    is_main_process,
+    maybe_initialize,
+    per_process_batch_size,
+)
 from pbe_tpu.parallel.mesh import (
     make_mesh,
     make_multislice_mesh,
@@ -8,4 +14,6 @@ from pbe_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "make_multislice_mesh", "batch_sharding",
-           "multislice_batch_sharding", "replicated", "zero_shard_opt_state"]
+           "multislice_batch_sharding", "replicated", "zero_shard_opt_state",
+           "maybe_initialize", "host_local_to_global", "is_main_process",
+           "per_process_batch_size"]

@@ -21,7 +21,14 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from pbe_tpu.models.pbe import PaintByExample
-from pbe_tpu.parallel import batch_sharding, make_mesh, replicated, zero_shard_opt_state
+from pbe_tpu.parallel import (
+    batch_sharding,
+    host_local_to_global,
+    is_main_process,
+    make_mesh,
+    replicated,
+    zero_shard_opt_state,
+)
 from pbe_tpu.training.train_step import (
     create_train_state,
     make_eval_step,
@@ -73,8 +80,14 @@ class Trainer:
         )
         devices = jax.devices()[:num_devices] if num_devices else None
         self.mesh = make_mesh(devices)
+        # multi-process (multi-host) mode: every process runs this same
+        # trainer over the GLOBAL mesh; batches are per-process host-local
+        # shards promoted via make_array_from_process_local_data, and only
+        # rank 0 writes logs (Orbax checkpointing is inherently multihost —
+        # every process participates in save/restore).
+        self._multiprocess = jax.process_count() > 1
         self.rng = jax.random.PRNGKey(seed)
-        self.logger = MetricLogger(logdir)
+        self.logger = MetricLogger(logdir) if is_main_process() else None
 
         repl = replicated(self.mesh)
         self._repl = repl
@@ -131,6 +144,10 @@ class Trainer:
 
     def _put_batch(self, batch: dict) -> dict:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if self._multiprocess:
+            # each process contributes its host-local slice of the global
+            # batch; the data never crosses hosts
+            return host_local_to_global(arrays, self.mesh)
         return jax.device_put(
             arrays, jax.tree.map(lambda _: self._batch_sharding, arrays)
         )
@@ -206,9 +223,10 @@ class Trainer:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["steps_per_sec"] = log_every / max(time.time() - t0, 1e-9)
                     t0 = time.time()
-                    self.logger.log(step, m)
-                    print(f"step {step}: " + " ".join(
-                        f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+                    if self.logger:
+                        self.logger.log(step, m)
+                        print(f"step {step}: " + " ".join(
+                            f"{k}={v:.4f}" for k, v in m.items()), flush=True)
                 if val_loader is not None and step % val_every == 0:
                     val_m = self.validate(val_loader)
                     if sample_images or fid_feature_fn is not None:
@@ -219,7 +237,8 @@ class Trainer:
                             steps=sample_steps,
                             sampler=sample_sampler,
                         ))
-                    self.logger.log(step, val_m, prefix="val")
+                    if self.logger:
+                        self.logger.log(step, val_m, prefix="val")
                     self.save({f"val/{k}": v for k, v in val_m.items()})
                     t0 = time.time()  # keep steps_per_sec train-only
                 elif step % ckpt_every == 0:
@@ -298,15 +317,15 @@ class Trainer:
             if i >= max_batches:
                 break
             rng = jax.random.fold_in(rng, i)
+            dbatch = self._put_batch(batch)
             m = self.eval_step(
-                self.state.params, self.state.frozen, self._put_batch(batch), rng
+                self.state.params, self.state.frozen, dbatch, rng
             )
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))
             if self.state.ema is not None:
                 m_ema = self.eval_step(
-                    self.state.ema.shadow, self.state.frozen,
-                    self._put_batch(batch), rng,
+                    self.state.ema.shadow, self.state.frozen, dbatch, rng,
                 )
                 for k, v in m_ema.items():
                     agg.setdefault(f"{k}_ema", []).append(float(v))

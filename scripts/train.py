@@ -43,6 +43,13 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
+    # multi-host: must run before the backend initializes (env-gated —
+    # PBE_COORDINATOR/PBE_NUM_PROCESSES/PBE_PROCESS_ID, or PBE_MULTIHOST=1
+    # for Cloud TPU pod auto-discovery). Replaces the reference's per-rank
+    # NCCL spawn (main.py:224,311-327).
+    from pbe_tpu.parallel import maybe_initialize
+    multiproc = maybe_initialize()
+
     from pbe_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     opt, unknown = get_parser().parse_known_args()
@@ -76,6 +83,13 @@ def main() -> None:
     data = config_lib.instantiate_from_config(raw["data"])
     train_loader = data.train_dataloader()
     val_loader = data.val_dataloader()
+
+    if multiproc:
+        print(f"multi-process: rank {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices; loader batch is "
+              "per-process (global batch = n_processes x batch_size)",
+              flush=True)
 
     # base_learning_rate sits beside (not inside) model.params in v1.yaml
     base_lr = raw["model"].get("base_learning_rate",
