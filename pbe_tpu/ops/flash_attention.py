@@ -15,6 +15,23 @@ through VMEM with a running (max, sum, acc) online-softmax state carried in
 f32. Softmax statistics stay in registers/VMEM; only the final normalized
 output is written.
 
+Softmax runs in the exp2 domain: q is pre-scaled by d^-0.5 * log2(e) so the
+probabilities are exp2(s2 - m2) — the same values as exp(s - m) (the VPU's
+exp is exp2(x*log2e) anyway; folding the multiply into the tiny q tensor
+removes an N^2-sized f32 multiply pass). The logsumexp handed to the
+backward is therefore in the log2 domain, L2 = m2 + log2(l), and the
+backward recomputes P = exp2(S2 - L2).
+
+Three forward variants, picked by VMEM footprint (auto):
+  * rowblock — K/V resident AND a full (block_q, N) score row-block
+    materialized in one MXU call: one max, one exp2, one sum; zero online
+    rescale passes. Fastest when 2*N*Dp*2 + 2*block_q*N*4 fits VMEM
+    (all UNet self-attention shapes at 512^2).
+  * resident — K/V resident, online softmax over k blocks (VAE mid at
+    batch>2 and other mid-size shapes).
+  * streamed — grid-blocked k axis, VMEM independent of N (16384-token
+    1024^2 sequences).
+
 Backward: fused two-pass Pallas backward (standard flash-attention VJP).
 The forward (training path only) additionally emits the per-row logsumexp
 L = m + log(l); the backward recomputes P = exp(S - L) blockwise and forms
@@ -36,8 +53,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _prescale(q_block, scale: float):
+    """Fold softmax scale * log2(e) into q (f32 multiply of the small
+    (Bq, Dp) block, cast back to the matmul dtype) so the (Bq, N) logits
+    come out of the MXU already in the exp2 domain."""
+    return (q_block.astype(jnp.float32) * (scale * _LOG2E)).astype(
+        q_block.dtype
+    )
 
 
 def _attention_xla(q, k, v):
@@ -49,6 +78,32 @@ def _attention_xla(q, k, v):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _flash_kernel_rowblock(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
+                           scale: float):
+    """K/V resident AND the full (Bq, N) score row-block materialized from
+    one MXU call: softmax is a single max / exp2 / sum — no online-softmax
+    running state, no alpha rescales of the accumulator. The cheapest
+    formulation whenever the row-block fits VMEM (UNet N<=4096 shapes)."""
+    q = _prescale(q_ref[0], scale)  # (Bq, Dp)
+    k = k_ref[0]                    # (N, Dp)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Bq, N) f32, already in the exp2 domain
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if maybe_lse:  # log2-domain logsumexp, lane-broadcast
+        maybe_lse[0][0] = jnp.broadcast_to(
+            m + jnp.log2(l), (q.shape[0], 128)
+        )
+
+
 def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
                            scale: float, block_k: int):
     """K/V fully VMEM-resident variant — fastest when the whole (N, Dp)
@@ -56,7 +111,7 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
     each). One program per q block, k loop inside."""
     n_k = k_ref.shape[1]
     num_blocks = n_k // block_k
-    q = q_ref[0]  # (Bq, Dp) native dtype -> bf16 MXU rate
+    q = _prescale(q_ref[0], scale)  # (Bq, Dp) native dtype -> bf16 MXU rate
     bq, dp = q.shape
 
     def body(i, carry):
@@ -65,10 +120,10 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -81,8 +136,8 @@ def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    if maybe_lse:  # training path: emit logsumexp, lane-broadcast
-        maybe_lse[0][0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
+    if maybe_lse:  # training path: log2-domain logsumexp, lane-broadcast
+        maybe_lse[0][0] = jnp.broadcast_to(m + jnp.log2(l), (bq, 128))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float):
@@ -106,17 +161,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float):
     # keep q/k/v in their native dtype (bf16 in production) so the MXU runs
     # at bf16 rate; accumulate in f32 via preferred_element_type. Upcasting
     # the operands would silently force 8x-slower f32 matmuls.
-    q = q_ref[0]   # (Bq, Dp)
+    q = _prescale(q_ref[0], scale)  # (Bq, Dp)
     kb = k_ref[0]  # (Bk, Dp)
     vb = v_ref[0]
     s = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Bq, Bk) f32
+    )  # (Bq, Bk) f32, exp2 domain
     m_prev = m_scr[...]
     l_prev = l_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     m_scr[...] = m_new
     l_scr[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
@@ -129,16 +184,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float):
         o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
         if lse_ref is not None:
             lse_ref[0] = jnp.broadcast_to(
-                m_scr[...] + jnp.log(l_scr[...]), (o_ref.shape[1], 128)
+                m_scr[...] + jnp.log2(l_scr[...]), (o_ref.shape[1], 128)
             )
 
 
+def _rowblock_bq(n: int, kv_bytes: int, block_q: int) -> int | None:
+    """Largest q-block for which K+V and the two (Bq, N) f32 score/prob
+    row-blocks fit VMEM with headroom; None when none fits."""
+    for bq in sorted({block_q, 512, 256, 128}, reverse=True):
+        if bq <= n and n % bq == 0 and (
+            kv_bytes + 2 * bq * n * 4 <= 10 * 1024 * 1024
+        ):
+            return bq
+    return None
+
+
 def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
-                    return_stats: bool = False):
-    """(BH, N, D) -> (BH, N, D), or (out, lse (BH, N, 128) f32) with stats.
+                    return_stats: bool = False, variant: str = "auto"):
+    """(BH, N, D) -> (BH, N, D), or (out, lse (BH, N, 128) f32) with stats
+    (lse is in the LOG2 domain: m2 + log2(l)).
 
     Returns None when the geometry is unsupported (caller falls back to XLA);
-    plain calls fall back internally."""
+    plain calls fall back internally. variant: auto|rowblock|resident|
+    streamed (non-auto for benchmarking; auto picks by VMEM footprint)."""
     bh, n, d = q.shape
     scale = d**-0.5
     dp = _round_up(d, 128)
@@ -153,26 +221,41 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
         v = jnp.pad(v, pad)
 
     lse_shape = jax.ShapeDtypeStruct((bh, n, 128), jnp.float32)
-    lse_spec_2 = pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
-                              memory_space=pltpu.VMEM)
-    lse_spec_3 = pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
-                              memory_space=pltpu.VMEM)
 
-    # strategy: keep K/V resident in VMEM when they fit with room for Mosaic
-    # double-buffering (~20% faster end-to-end at 512^2); stream blocks via
-    # the grid otherwise (VAE 512-wide head, 1024^2 / 16384-token sequences)
+    def lse_spec(bq, rank3):
+        im = (lambda b, i, j: (b, i, 0)) if rank3 else (lambda b, i: (b, i, 0))
+        return pl.BlockSpec((1, bq, 128), im, memory_space=pltpu.VMEM)
+
+    # strategy: materialize the whole score row-block when K/V AND the
+    # (Bq, N) f32 scores fit VMEM (all 512^2 UNet shapes) — single-pass
+    # softmax, no online rescales; else keep K/V resident with the online
+    # k loop; else stream k blocks via the grid (VAE 512-wide head at
+    # batch>2, 1024^2 / 16384-token sequences)
     kv_bytes = 2 * n * dp * q.dtype.itemsize
-    if kv_bytes <= 4 * 1024 * 1024:
-        qspec = pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+    bq_rb = _rowblock_bq(n, kv_bytes, block_q)
+    use_rowblock = variant == "rowblock" or (variant == "auto" and bq_rb)
+    use_resident = variant == "resident" or (
+        variant == "auto" and not use_rowblock
+        and kv_bytes <= 4 * 1024 * 1024
+    )
+
+    if use_rowblock or use_resident:
+        bq = (bq_rb or block_q) if use_rowblock else block_q
+        kernel = (
+            functools.partial(_flash_kernel_rowblock, scale=scale)
+            if use_rowblock
+            else functools.partial(_flash_kernel_resident, scale=scale,
+                                   block_k=block_k)
+        )
+        qspec = pl.BlockSpec((1, bq, dp), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_resident, scale=scale,
-                              block_k=block_k),
+            kernel,
             out_shape=(
                 [jax.ShapeDtypeStruct((bh, n, dp), v.dtype), lse_shape]
                 if return_stats else jax.ShapeDtypeStruct((bh, n, dp), v.dtype)
             ),
-            grid=(bh, n // block_q),
+            grid=(bh, n // bq),
             in_specs=[
                 qspec,
                 pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
@@ -180,7 +263,7 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
                 pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[qspec, lse_spec_2] if return_stats else qspec,
+            out_specs=[qspec, lse_spec(bq, False)] if return_stats else qspec,
         )(q, k, v)
         if return_stats:
             return out[0][..., :d], out[1]
@@ -203,7 +286,7 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
             pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[qspec, lse_spec_3] if return_stats else qspec,
+        out_specs=[qspec, lse_spec(block_q, True)] if return_stats else qspec,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max
             pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
@@ -237,17 +320,18 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     kb = k_ref[0]
     vb = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]  # (Bq, 1) f32, lane-broadcast storage
+    lse = lse_ref[0][:, :1]  # (Bq, 1) f32, log2-domain, lane-broadcast
     dd = dd_ref[0][:, :1]
 
-    s = jax.lax.dot_general(
-        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)  # (Bq, Bk) f32
+    s2 = jax.lax.dot_general(
+        _prescale(q, scale), kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s2 - lse)  # (Bq, Bk) f32
     dp = jax.lax.dot_general(
         do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dd) * scale
+    ds = p * (dp - dd) * scale  # gradients live in the natural domain
     dq_scr[...] += jax.lax.dot_general(
         ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -274,13 +358,14 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
     kb = k_ref[0]
     vb = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]
+    lse = lse_ref[0][:, :1]  # log2-domain
     dd = dd_ref[0][:, :1]
 
-    s = jax.lax.dot_general(
-        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)  # (Bq, Bk)
+    s2 = jax.lax.dot_general(
+        _prescale(q, scale), kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = jnp.exp2(s2 - lse)  # (Bq, Bk)
     # dV += P^T dO
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),

@@ -86,16 +86,20 @@ def main() -> None:
         rows = []
         t = timeit(jax.jit(fa._attention_xla), q, kk, v)
         rows.append(("xla", None, t))
-        for bq, bk in block_configs:
-            if n % min(bq, n) or n % min(bk, n):
-                continue
-            f = jax.jit(functools.partial(
-                fa._flash_fwd_bhnd, block_q=bq, block_k=bk))
-            try:
-                t = timeit(f, q, kk, v)
-                rows.append(("flash", (bq, bk), t))
-            except Exception as e:  # VMEM OOM etc.
-                rows.append(("flash", (bq, bk), float("nan")))
+        for variant in ("rowblock", "resident", "streamed"):
+            for bq, bk in block_configs:
+                if n % min(bq, n) or n % min(bk, n):
+                    continue
+                if variant == "rowblock" and (bq, bk) != (256, 512):
+                    continue  # rowblock picks its own bq internally
+                f = jax.jit(functools.partial(
+                    fa._flash_fwd_bhnd, block_q=bq, block_k=bk,
+                    variant=variant))
+                try:
+                    t = timeit(f, q, kk, v)
+                    rows.append((variant, (bq, bk), t))
+                except Exception:  # VMEM OOM etc.
+                    rows.append((variant, (bq, bk), float("nan")))
         for impl, cfg, t in rows:
             print(json.dumps({
                 "shape": name, "bh": bh, "n": n, "d": d, "impl": impl,
