@@ -74,6 +74,10 @@ class ExemplarEncoderConfig:
     clip: CLIPVisionConfig | None = None
     mapper_layers: int = 5
 
+    def __post_init__(self):
+        if isinstance(self.clip, dict):  # YAML-provided override geometry
+            self.clip = CLIPVisionConfig(**self.clip)
+
     def build(self, dtype: Any = jnp.float32) -> ExemplarEncoder:
         return ExemplarEncoder(
             clip=self.clip or CLIPVisionConfig(),

@@ -79,9 +79,17 @@ def visualize_batch(
     return grids
 
 
-def run_batch(pipeline: EditPipeline, batch: dict, outdir: str, **kw) -> np.ndarray:
+def run_batch(pipeline: EditPipeline, batch: dict, outdir: str,
+              writer=None, **kw) -> np.ndarray:
+    """infer + visualize; pass an AsyncWriter to move the grid/PNG saves
+    onto its background queue (device keeps running while the host
+    encodes)."""
     preds = infer_batch(pipeline, batch, **kw)
-    visualize_batch(batch, preds, outdir, ids=batch.get("id"))
+    if writer is None:
+        visualize_batch(batch, preds, outdir, ids=batch.get("id"))
+    else:
+        writer.submit(visualize_batch, dict(batch), preds, outdir,
+                      ids=batch.get("id"))
     return preds
 
 
@@ -127,39 +135,44 @@ def infer_all(
     **kw,
 ) -> int:
     """Walk parallel directories of (image, mask, reference) triples matched
-    by stem; returns the number of edits produced."""
+    by stem; returns the number of edits produced. Saves run on a bounded
+    background writer so host PNG encode overlaps device compute."""
+    from pbe_tpu.utils.async_writer import AsyncWriter
+
     images = sorted(Path(image_dir).iterdir())
     n = 0
     batch_items: list[dict] = []
 
-    def flush():
-        nonlocal n
-        if not batch_items:
-            return
-        batch = {
-            k: np.stack([b[k] for b in batch_items])
-            for k in ("image", "inpaint_image", "mask", "ref")
-        }
-        batch["id"] = [b["id"] for b in batch_items]
-        run_batch(pipeline, batch, outdir, **kw)
-        n += len(batch_items)
-        batch_items.clear()
+    with AsyncWriter(workers=2, max_queue=4) as writer:
 
-    for img_path in images:
-        stem = img_path.stem
-        mask_path = _find(mask_dir, stem)
-        ref_path = _find(reference_dir, stem)
-        if mask_path is None or ref_path is None:
-            continue
-        image = T.load_image(str(img_path), size)
-        mask = load_mask_from_image_or_txt(str(mask_path), size)
-        batch_items.append({
-            "image": image, "inpaint_image": image * mask, "mask": mask,
-            "ref": T.load_reference(str(ref_path)), "id": stem,
-        })
-        if len(batch_items) == batch_size:
-            flush()
-    flush()
+        def flush():
+            nonlocal n
+            if not batch_items:
+                return
+            batch = {
+                k: np.stack([b[k] for b in batch_items])
+                for k in ("image", "inpaint_image", "mask", "ref")
+            }
+            batch["id"] = [b["id"] for b in batch_items]
+            run_batch(pipeline, batch, outdir, writer=writer, **kw)
+            n += len(batch_items)
+            batch_items.clear()
+
+        for img_path in images:
+            stem = img_path.stem
+            mask_path = _find(mask_dir, stem)
+            ref_path = _find(reference_dir, stem)
+            if mask_path is None or ref_path is None:
+                continue
+            image = T.load_image(str(img_path), size)
+            mask = load_mask_from_image_or_txt(str(mask_path), size)
+            batch_items.append({
+                "image": image, "inpaint_image": image * mask, "mask": mask,
+                "ref": T.load_reference(str(ref_path)), "id": stem,
+            })
+            if len(batch_items) == batch_size:
+                flush()
+        flush()
     return n
 
 

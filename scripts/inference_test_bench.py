@@ -37,6 +37,7 @@ def main() -> None:
     from pbe_tpu.data.test_bench import COCOEEDataset
     from pbe_tpu.pipelines.batch import infer_batch, visualize_batch
     from pbe_tpu.pipelines.loading import load_pipeline
+    from pbe_tpu.utils.async_writer import AsyncWriter
 
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
     pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
@@ -50,24 +51,31 @@ def main() -> None:
     grid_dir = os.path.join(opt.outdir, "grid")
     os.makedirs(result_dir, exist_ok=True)
 
-    total, t_total = 0, 0.0
-    for batch in dl:
-        t0 = time.time()
-        preds = infer_batch(
-            pipeline, batch, steps=opt.ddim_steps, scale=opt.scale,
-            sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
-            seed=opt.seed,
-        )
-        t_total += time.time() - t0
-        for i, id_ in enumerate(batch["id"]):
+    def save_results(ids, preds, batch):
+        for i, id_ in enumerate(ids):
             T.save_image(preds[i], os.path.join(result_dir, f"{id_}.png"))
         if not opt.skip_grid:
-            visualize_batch(batch, preds, grid_dir, ids=batch["id"])
-        total += len(preds)
-        print(f"{total}/{len(ds)} pairs, {total / max(t_total, 1e-9):.3f} edits/s",
-              flush=True)
+            visualize_batch(batch, preds, grid_dir, ids=ids)
 
-    print(f"done: {total} edits in {t_total:.1f}s "
+    # PNG encode/save rides a bounded background queue so the device never
+    # idles on host IO (round-2 measured 0.72 edits/s sync vs 1.11
+    # device-only on this single-core host — PERF.md §2)
+    total, t_total = 0, 0.0
+    with AsyncWriter(workers=2, max_queue=4) as writer:
+        for batch in dl:
+            t0 = time.time()
+            preds = infer_batch(
+                pipeline, batch, steps=opt.ddim_steps, scale=opt.scale,
+                sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
+                seed=opt.seed,
+            )
+            t_total += time.time() - t0
+            writer.submit(save_results, list(batch["id"]), preds, batch)
+            total += len(preds)
+            print(f"{total}/{len(ds)} pairs, "
+                  f"{total / max(t_total, 1e-9):.3f} edits/s", flush=True)
+
+    print(f"done: {total} edits in {t_total:.1f}s device-side "
           f"({total / max(t_total, 1e-9):.3f} edits/s incl. first compile)")
 
 

@@ -1,0 +1,202 @@
+"""Weights-arrival runbook: one command from `model.ckpt` to a parity
+table against the paper's published numbers.
+
+Quality parity (FID 3.18 / QS 77.80 / CLIP 84.97, reference README.md:
+116-166) is unprovable in this sandbox — no pretrained PBE checkpoint,
+Inception/CLIP metric towers, or real COCOEE archive exist here (zero
+egress). Everything mechanical has been proven at 3500-pair scale
+(PERF.md §2). This script makes the remaining claim a single command the
+moment the assets exist:
+
+    python scripts/weights_runbook.py \
+        --ckpt model.ckpt --test_bench_dir /path/to/COCOEE \
+        [--inception_weights pt_inception.pth] \
+        [--clip_weights ViT-B-32.pt] [--gmm gmm.pkl] [--outdir runbook_out]
+
+Steps (each logged, each skippable with --skip_*):
+  1. convert  — torch ckpt -> JAX through the production converter;
+               reports missing/unexpected/mismatched keys (strict=False
+               load, ddpm.py:245-260 semantics).
+  2. golden   — fixed-seed (321) 50-step PLMS edit of reference
+               example_1; writes PNG + sha256 next to the results (the
+               committed test golden, tests/test_golden_examples.py:122).
+  3. bench    — full test-bench inference (README.md:116-166 command
+               equivalent) via scripts/inference_test_bench.py.
+  4. metrics  — FID (vs GT_3500), CLIP score (vs Ref_3500), QS/GMM over
+               the results, via the three eval CLIs.
+  5. report   — PARITY_WEIGHTS.md with measured-vs-paper table.
+
+--dry_run exercises the whole chain on synthetic assets + random-init
+weights (metric values meaningless by construction, mechanics proven).
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+PAPER = {"FID": 3.18, "QS": 77.80, "CLIP": 84.97}  # README.md:116-166
+
+
+def run(cmd: list[str], log_path: str) -> str:
+    print(f"$ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=ROOT, text=True,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    with open(log_path, "a") as f:
+        f.write(f"$ {' '.join(cmd)}\n{proc.stdout}\n")
+    print(proc.stdout[-1500:])
+    if proc.returncode != 0:
+        raise SystemExit(f"step failed (rc={proc.returncode}); see {log_path}")
+    print(f"  [{time.time() - t0:.0f}s]", flush=True)
+    return proc.stdout
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="", help="trained PBE torch .ckpt")
+    p.add_argument("--test_bench_dir", default="test_bench",
+                   help="real COCOEE layout (id_list.npy + *_3500 dirs)")
+    p.add_argument("--inception_weights", default="")
+    p.add_argument("--clip_weights", default="")
+    p.add_argument("--gmm", default="")
+    p.add_argument("--pca", default="")
+    p.add_argument("--outdir", default="runbook_out")
+    p.add_argument("--n_samples", type=int, default=8, help="bench batch")
+    p.add_argument("--dry_run", action="store_true",
+                   help="synthetic assets + random init: mechanics only")
+    p.add_argument("--skip_bench", action="store_true")
+    p.add_argument("--skip_metrics", action="store_true")
+    opt = p.parse_args()
+
+    os.makedirs(opt.outdir, exist_ok=True)
+    log = os.path.join(opt.outdir, "runbook.log")
+    py = sys.executable
+
+    if opt.dry_run and not os.path.isdir(
+        os.path.join(opt.test_bench_dir, "GT_3500")
+    ):
+        opt.test_bench_dir = os.path.join(opt.outdir, "synthetic_bench")
+        run([py, "scripts/make_synthetic_test_bench.py", "--n", "16",
+             "--out", opt.test_bench_dir], log)
+
+    # 1. convert + validate ------------------------------------------------
+    # (the overlay prints the strict=False missing/unexpected/mismatched
+    # report; run it as a subprocess so the report lands in the log)
+    if opt.ckpt:
+        print("== step 1: convert ==", flush=True)
+        run([py, "-c",
+             "from pbe_tpu.pipelines.loading import load_pipeline; "
+             f"load_pipeline('configs/v1.yaml', {opt.ckpt!r})"], log)
+    else:
+        print("== step 1: convert SKIPPED (no --ckpt; random init) ==")
+
+    # 2. fixed-seed golden edit -------------------------------------------
+    examples = os.environ.get("PBE_EXAMPLES", "/root/reference/examples")
+    if os.path.isdir(examples):
+        print("== step 2: seed-321 golden edit ==", flush=True)
+        cmd = [py, "scripts/inference.py",
+               "--image_path", f"{examples}/image/example_1.png",
+               "--mask_path", f"{examples}/mask/example_1.png",
+               "--reference_path", f"{examples}/reference/example_1.jpg",
+               "--outdir", os.path.join(opt.outdir, "golden"),
+               "--seed", "321", "--scale", "5", "--plms", "--n_iter", "1"]
+        if opt.ckpt:
+            cmd += ["--ckpt", opt.ckpt]
+        run(cmd, log)
+        import hashlib
+        for root_, _, files in os.walk(os.path.join(opt.outdir, "golden")):
+            for fn in sorted(files):
+                if fn.endswith(".png"):
+                    digest = hashlib.sha256(
+                        open(os.path.join(root_, fn), "rb").read()
+                    ).hexdigest()
+                    print(f"  sha256({fn}) = {digest}")
+                    with open(os.path.join(opt.outdir,
+                                           "golden_sha256.txt"), "a") as f:
+                        f.write(f"{fn} {digest}\n")
+    else:
+        print(f"== step 2 SKIPPED ({examples} not present) ==")
+
+    # 3. full test-bench inference ----------------------------------------
+    results = os.path.join(opt.outdir, "bench", "results")
+    if not opt.skip_bench:
+        print("== step 3: test-bench inference ==", flush=True)
+        cmd = [py, "scripts/inference_test_bench.py",
+               "--outdir", os.path.join(opt.outdir, "bench"),
+               "--test_bench_dir", opt.test_bench_dir,
+               "--n_samples", str(opt.n_samples), "--plms", "--skip_grid"]
+        if opt.ckpt:
+            cmd += ["--ckpt", opt.ckpt]
+        run(cmd, log)
+
+    # 4. metrics -----------------------------------------------------------
+    measured: dict[str, float] = {}
+    if not opt.skip_metrics:
+        print("== step 4: metrics ==", flush=True)
+        fid_cmd = [py, "scripts/eval_fid.py",
+                   os.path.join(opt.test_bench_dir, "GT_3500"), results]
+        if opt.inception_weights:
+            fid_cmd += ["--weights", opt.inception_weights]
+        out = run(fid_cmd, log)
+        m = re.search(r"FID[:=]?\s*([0-9.]+)", out)
+        if m:
+            measured["FID"] = float(m.group(1))
+
+        clip_cmd = [py, "scripts/eval_clip_score.py",
+                    "--result_dir", results,
+                    "--test_bench_dir", opt.test_bench_dir]
+        if opt.clip_weights:
+            clip_cmd += ["--weights", opt.clip_weights]
+        out = run(clip_cmd, log)
+        m = re.search(r"(?:CLIP|clip)[ _-]?score[:=]?\s*([0-9.]+)", out)
+        if m:
+            measured["CLIP"] = float(m.group(1))
+
+        if opt.gmm:
+            gmm_cmd = [py, "scripts/eval_gmm.py", results, "--gmm", opt.gmm]
+            if opt.pca:
+                gmm_cmd += ["--pca", opt.pca]
+            if opt.inception_weights:
+                gmm_cmd += ["--weights", opt.inception_weights]
+            out = run(gmm_cmd, log)
+            m = re.search(r"(?:QS|quality[ _-]?score)[:=]?\s*([0-9.]+)", out,
+                          re.I)
+            if m:
+                measured["QS"] = float(m.group(1))
+        else:
+            print("  (no --gmm pickle: QS skipped)")
+
+    # 5. parity report ------------------------------------------------------
+    lines = [
+        "# Weights parity report",
+        "",
+        f"- checkpoint: `{opt.ckpt or 'RANDOM INIT (dry run)'}`",
+        f"- test bench: `{opt.test_bench_dir}`",
+        f"- metric towers: inception=`{opt.inception_weights or 'RANDOM'}` "
+        f"clip=`{opt.clip_weights or 'RANDOM'}` gmm=`{opt.gmm or 'NONE'}`",
+        "",
+        "| metric | paper (README.md:116-166) | measured | note |",
+        "|---|---|---|---|",
+    ]
+    trustworthy = bool(opt.ckpt) and bool(opt.inception_weights)
+    for k, paper_v in PAPER.items():
+        v = measured.get(k)
+        note = ("" if trustworthy else
+                "random-init towers/weights: value meaningless")
+        lines.append(
+            f"| {k} | {paper_v} | {v if v is not None else '—'} | {note} |"
+        )
+    report_path = os.path.join(opt.outdir, "PARITY_WEIGHTS.md")
+    with open(report_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwrote {report_path}")
+
+
+if __name__ == "__main__":
+    main()
