@@ -31,7 +31,31 @@ SCALE = float(os.environ.get("BENCH_SCALE", "5.0"))  # 1.0 = no-CFG fast path
 # '1': cast >=2-d params (conv/dense kernels) to bf16, halving the ~3.4 GB of
 # parameter HBM traffic per UNet call; 1-d norm affines stay fp32 (islands)
 BF16_PARAMS = os.environ.get("BENCH_BF16_PARAMS", "0") == "1"
-PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
+
+# bf16 dense peak by device kind (public spec sheets); env overrides, and
+# unknown kinds fall back to the v5e figure this repo's MFU history uses.
+_PEAK_BY_KIND = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+}
+
+
+def _device_peak_tflops() -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return 197.0
+    for prefix, peak in _PEAK_BY_KIND.items():
+        if kind.startswith(prefix):
+            return peak
+    return 197.0
 
 
 _FLOPS_PROBE = r"""
@@ -176,7 +200,8 @@ def main() -> None:
         "p50_latency_s": round(latency_per_edit, 4),
     }
     if flops:
-        record["mfu"] = round(flops["total_flops"] / (p50 * PEAK_TFLOPS * 1e12), 4)
+        peak = _device_peak_tflops()
+        record["mfu"] = round(flops["total_flops"] / (p50 * peak * 1e12), 4)
         record["program_tflops"] = round(flops["total_flops"] / 1e12, 2)
         record["unet_call_tflops"] = round(flops["unet_call_tflops"], 4)
     print(json.dumps(record))

@@ -189,11 +189,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float):
 
 
 def _rowblock_bq(n: int, kv_bytes: int, block_q: int) -> int | None:
-    """Largest q-block for which K+V and the two (Bq, N) f32 score/prob
-    row-blocks fit VMEM with headroom; None when none fits."""
+    """Largest q-block for which K+V, the (Bq, N) f32 score row-block and
+    its bf16 prob copy fit VMEM with headroom; None when none fits.
+
+    Footprint is kv + 6*Bq*N (f32 scores reused in place by exp2 + a bf16
+    prob block for the PV matmul). Measured on-chip at (16, 4096, 40):
+    bq 128/256/512 -> 1573/1529/1505 us — a 4% spread, so the exact pick
+    barely matters; 12MB keeps a safe margin under the 16MB/core VMEM."""
     for bq in sorted({block_q, 512, 256, 128}, reverse=True):
         if bq <= n and n % bq == 0 and (
-            kv_bytes + 2 * bq * n * 4 <= 10 * 1024 * 1024
+            kv_bytes + 6 * bq * n <= 12 * 1024 * 1024
         ):
             return bq
     return None
@@ -233,11 +238,23 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
     # batch>2, 1024^2 / 16384-token sequences)
     kv_bytes = 2 * n * dp * q.dtype.itemsize
     bq_rb = _rowblock_bq(n, kv_bytes, block_q)
-    use_rowblock = variant == "rowblock" or (variant == "auto" and bq_rb)
+    # rowblock only pays when K/V are small (UNet dp=128 shapes): at the
+    # VAE's dp=512 the resident 8.4MB K/V starves the score-block pipeline
+    # and the tuned streamed path wins (949 vs 1120 us measured, r3 sweep)
+    use_rowblock = variant == "rowblock" or (
+        variant == "auto" and bq_rb and kv_bytes <= 4 * 1024 * 1024
+    )
     use_resident = variant == "resident" or (
         variant == "auto" and not use_rowblock
         and kv_bytes <= 4 * 1024 * 1024
     )
+    if variant == "auto" and not (use_rowblock or use_resident):
+        # streamed fallback: wide-d / long-N shapes prefer big blocks
+        # (vae_mid (2,4096,512): (256,512) 1390us -> (512,1024) 949us;
+        #  1024² ds1 (16,16384,40): (256,512) 35.2ms -> (1024,1024) 17.6ms)
+        if n % 1024 == 0:
+            block_q = max(block_q, 1024 if n >= 8192 else 512)
+            block_k = max(block_k, 1024)
 
     if use_rowblock or use_resident:
         bq = (bq_rb or block_q) if use_rowblock else block_q

@@ -109,7 +109,7 @@ def main() -> None:
         rows.append((name, "conv3x3", t, conv_ideal_us))
 
         # --- SpatialTransformer (self-attn + 1-token cross-attn + GEGLU)
-        tf = SpatialTransformer(8, c // 8, 1, dtype, attn_impl="flash")
+        tf = SpatialTransformer(8, c // 8, 1, dtype, attn_impl="pallas")
         tparams = tf.init(rng, x, ctx)
         t = timeit(lambda y, p, cc: tf.apply(p, y, cc), x, tparams, ctx)
         rows.append((name, "spatial_tf", t, None))
