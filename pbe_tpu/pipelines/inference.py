@@ -49,7 +49,8 @@ class EditPipeline:
         return self
 
     # -- jitted body --------------------------------------------------------
-    def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True):
+    def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True,
+               paste: int = -1):
         # the ancestral sampler walks the full DDPM chain and has no use for
         # the DDIM subsequence tables
         sched = (
@@ -112,12 +113,24 @@ class EditPipeline:
             img = model.apply(
                 variables, x0, method=PaintByExample.decode_first_stage
             )
-            return jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+            img01 = jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+            if paste >= 0:
+                # detail-preserving composite (vae_asym.paste_back): original
+                # pixels wherever mask==1, feathered seam into the edit —
+                # stays inside the compiled program, so it is HBM-free
+                from pbe_tpu.models.vae_asym import paste_back
+
+                orig01 = (image.astype(jnp.float32) + 1.0) / 2.0
+                img01 = paste_back(
+                    img01, orig01, mask.astype(jnp.float32), feather=paste
+                )
+            return img01
 
         return run
 
-    def _fn(self, steps: int, sampler: str, eta: float, cfg: bool):
-        key = (steps, sampler, eta, cfg)
+    def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
+            paste: int = -1):
+        key = (steps, sampler, eta, cfg, paste)
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         return self._fns[key]
@@ -135,9 +148,14 @@ class EditPipeline:
         eta: float = 0.0,
         seed: int = 42,
         x_T: np.ndarray | None = None,
+        paste_back: int | None = None,
     ) -> np.ndarray:
         """image (B,H,W,3) in [-1,1]; mask (B,H,W,1) 1=keep; ref (B,224,224,3)
-        CLIP-normalized. Returns (B,H,W,3) float32 in [0,1]."""
+        CLIP-normalized. Returns (B,H,W,3) float32 in [0,1].
+
+        paste_back: None (reference-parity full decode) or a feather radius
+        in pixels — composite the original pixels back outside the mask
+        (bit-exact detail preservation; 0 = hard seam)."""
         b, h, w, _ = image.shape
         f = self.model.latent_downsample
         rng = jax.random.PRNGKey(seed)
@@ -146,7 +164,8 @@ class EditPipeline:
             x_T = jax.random.normal(
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
-        fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0)
+        fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0,
+                      -1 if paste_back is None else int(paste_back))
         args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),

@@ -143,11 +143,18 @@ class Trainer:
         return True
 
     def _put_batch(self, batch: dict) -> dict:
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         if self._multiprocess:
             # each process contributes its host-local slice of the global
             # batch; the data never crosses hosts
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
             return host_local_to_global(arrays, self.mesh)
+        # already-device-resident entries (e.g. a fixed batch the caller
+        # transferred once) pass through: device_put with the same sharding
+        # is a no-op, so repeated epochs over cached device batches cost
+        # zero H2D (the tunnel transfer is ~60 MB/step at 512^2 batch 8)
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, (np.ndarray, jax.Array))}
         return jax.device_put(
             arrays, jax.tree.map(lambda _: self._batch_sharding, arrays)
         )

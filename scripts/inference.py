@@ -68,6 +68,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_path", type=str, default="")
     p.add_argument("--mask_path", type=str, default="")
     p.add_argument("--reference_path", type=str, default="")
+    # TPU-rebuild extension (no reference counterpart): detail-preserving
+    # composite — keep original pixels bit-exact outside the mask with an
+    # N-pixel feathered seam (models/vae_asym.paste_back). Off by default
+    # for output parity with the reference's full decode.
+    p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
+                   help="composite original pixels outside the mask "
+                        "(feather radius in px; omit for reference parity)")
     return p
 
 
@@ -133,6 +140,7 @@ def main() -> None:
             eta=opt.ddim_eta,
             seed=opt.seed + it,  # RNG advances across iterations
             x_T=x_T,  # --fixed_code pins the start noise across iterations
+            paste_back=opt.paste_back,
         )
         times.append(time.time() - t0)
 

@@ -75,15 +75,12 @@ def make_pairs(n: int = 8, size: int = 512, seed: int = 7):
 
 class FixedPairsLoader:
     """Loader yielding the same fixed batch every step (one epoch = one
-    batch; Trainer.fit re-iterates per epoch)."""
+    batch; Trainer.fit re-iterates per epoch). Pass a batch that is already
+    device-resident (trainer._put_batch) so the ~60 MB H2D tunnel transfer
+    happens once, not per step — measured 0.26 vs ~1.5 steps/s."""
 
-    def __init__(self, images, masks, refs, batch: int, steps_per_epoch: int):
-        self.batch = {
-            "image": images[:batch],
-            "inpaint_image": images[:batch] * masks[:batch],
-            "mask": masks[:batch],
-            "ref": refs[:batch],
-        }
+    def __init__(self, batch: dict, steps_per_epoch: int):
+        self.batch = batch
         self.steps = steps_per_epoch
 
     def __iter__(self):
@@ -117,8 +114,6 @@ def main() -> None:
     variables = init_variables(model, seed=0)
 
     images, masks, refs = make_pairs(8)
-    loader = FixedPairsLoader(images, masks, refs, opt.batch,
-                              steps_per_epoch=opt.steps)
 
     os.makedirs(opt.outdir, exist_ok=True)
     trainer = Trainer(
@@ -127,6 +122,14 @@ def main() -> None:
         scheduler=lambda step: 1.0,  # constant LR: no 10k warmup here
     )
     del variables
+    b = opt.batch
+    dbatch = trainer._put_batch({
+        "image": images[:b],
+        "inpaint_image": images[:b] * masks[:b],
+        "mask": masks[:b],
+        "ref": refs[:b],
+    })
+    loader = FixedPairsLoader(dbatch, steps_per_epoch=opt.steps)
 
     t0 = time.time()
     trainer.fit(loader, val_loader=None, max_steps=opt.steps, max_epochs=1,
