@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--test_bench_dir", type=str, default="test_bench")
     p.add_argument("--limit", type=int, default=0, help="cap pairs (0 = all 3500)")
     p.add_argument("--skip_grid", action="store_true")
+    p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
+                   help="detail-preserving composite outside the mask "
+                        "(feather px; omit for reference parity)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -67,7 +70,7 @@ def main() -> None:
             preds = infer_batch(
                 pipeline, batch, steps=opt.ddim_steps, scale=opt.scale,
                 sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
-                seed=opt.seed,
+                seed=opt.seed, paste_back=opt.paste_back,
             )
             t_total += time.time() - t0
             writer.submit(save_results, list(batch["id"]), preds, batch)

@@ -33,6 +33,9 @@ def main() -> None:
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--precision", choices=["full", "autocast"], default="autocast")
+    p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
+                   help="detail-preserving composite outside the mask "
+                        "(feather px; omit for reference parity)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -48,6 +51,7 @@ def main() -> None:
         size=(opt.H, opt.W), batch_size=opt.batch_size,
         steps=opt.ddim_steps, scale=opt.scale,
         sampler="plms" if opt.use_plms else "ddim", seed=opt.seed,
+        paste_back=opt.paste_back,
     )
     print(f"wrote {n} edits to {opt.outdir}")
 

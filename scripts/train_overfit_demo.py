@@ -144,9 +144,47 @@ def main() -> None:
         "image": images, "inpaint_image": images * masks, "mask": masks,
         "ref": refs, "id": [f"pair{i}" for i in range(len(images))],
     }
-    trainer.log_images(batch, outdir=os.path.join(opt.outdir, "grids"),
-                       steps=opt.sample_steps, scale=5.0, sampler="ddim")
+    preds = trainer.log_images(batch, outdir=os.path.join(opt.outdir, "grids"),
+                               steps=opt.sample_steps, scale=5.0,
+                               sampler="ddim")
     print(f"wrote grids to {opt.outdir}/grids")
+
+    # The first stage here is RANDOM-INIT (no pretrained VAE exists in this
+    # environment), so the correct memorization target is the VAE
+    # *round-trip* decode(encode(GT)) — not GT pixels: a perfectly-learned
+    # diffusion model can do no better than reproduce the latents the VAE
+    # assigns to the scene. Compare pred against that round-trip (PSNR).
+    import jax
+
+    from PIL import Image as PILImage
+
+    from pbe_tpu.training.partition import merge_params
+
+    merged = {"params": merge_params(trainer.state.params,
+                                     trainer.state.frozen)}
+
+    @jax.jit
+    def roundtrip(img):
+        z0 = model.apply(merged, img, None,
+                         method=type(model).encode_first_stage)
+        rec = model.apply(merged, z0, method=type(model).decode_first_stage)
+        return jnp.clip((rec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    rt = np.asarray(roundtrip(jnp.asarray(images, model.dtype)))
+    psnr = []
+    for i in range(len(images)):
+        mse = float(np.mean((rt[i] - preds[i]) ** 2))
+        psnr.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+        side = (np.concatenate([rt[i], preds[i]], axis=1) * 255).astype(np.uint8)
+        PILImage.fromarray(side).save(
+            os.path.join(opt.outdir, "grids", f"roundtrip_vs_pred_pair{i}.png"))
+    np.save(os.path.join(opt.outdir, "preds.npy"), preds)
+    np.save(os.path.join(opt.outdir, "roundtrip.npy"), rt)
+    print("PSNR(pred, VAE-roundtrip) per pair:",
+          [round(p, 2) for p in psnr], "mean", round(float(np.mean(psnr)), 2))
+    with open(os.path.join(opt.outdir, "overfit_summary.json"), "w") as f:
+        json.dump({"psnr_pred_vs_roundtrip": psnr,
+                   "psnr_mean": float(np.mean(psnr))}, f)
 
     # compact loss curve for the record
     losses = []
@@ -161,6 +199,32 @@ def main() -> None:
         first, last = losses[0][1], losses[-1][1]
         print(f"loss_simple: {first:.4f} (step {losses[0][0]}) -> "
               f"{last:.4f} (step {losses[-1][0]})")
+        plot_loss_curve(losses, os.path.join(opt.outdir, "loss_curve.png"))
+
+
+def plot_loss_curve(losses, path: str) -> None:
+    """Single-series log-y loss curve PNG next to the grids."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps, vals = zip(*losses)
+    fig, ax = plt.subplots(figsize=(7, 4), dpi=120)
+    ax.plot(steps, vals, color="#2a78d6", linewidth=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("step")
+    ax.set_ylabel("eps-MSE (loss_simple)")
+    ax.set_title("Overfit demo: 8 fixed pairs, batch 8, one v5e chip")
+    ax.grid(True, which="both", color="#e6e6e6", linewidth=0.6)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    ax.annotate(f"{vals[-1]:.3g}", (steps[-1], vals[-1]),
+                textcoords="offset points", xytext=(4, 4), color="#444444")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -105,3 +105,15 @@ def test_ddpm_ancestral_sampler_in_pipeline(pipeline):
     out = p.edit_batch(image, mask, ref, steps=8, sampler="ddpm", seed=3)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_paste_back_preserves_unmasked_pixels(pipeline):
+    image, mask, ref = _inputs()
+    out = pipeline.edit_batch(image, mask, ref, steps=3, seed=1, paste_back=2)
+    plain = pipeline.edit_batch(image, mask, ref, steps=3, seed=1)
+    src01 = (image + 1.0) / 2.0
+    keep = mask[0, ..., 0] == 1.0
+    # mask==1 pixels are the original source, bit-exact (fp32 composite)
+    np.testing.assert_allclose(out[0][keep], src01[0][keep], atol=1e-6)
+    # the deep edit interior is untouched by the feather
+    np.testing.assert_array_equal(out[0, 14:18, 14:18], plain[0, 14:18, 14:18])
