@@ -97,7 +97,12 @@ def create_train_state(
     )
 
 
-def make_loss_fn(model: PaintByExample):
+def make_loss_fn(model: PaintByExample, det_first_stage: bool = False):
+    """det_first_stage=True uses the VAE posterior MODE instead of sampling
+    it per step (reference parity is sampling, latent_diffusion.py:255-262).
+    Useful when the first stage is random-init (overfit demos, unit tests):
+    a random-init posterior's std is ~1.8x its mean's RMS, so the sampled
+    target is noise-dominated and memorization metrics floor out."""
     sched = model.schedule
     sqrt_acp = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
     sqrt_1macp = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod, jnp.float32)
@@ -112,7 +117,8 @@ def make_loss_fn(model: PaintByExample):
 
         z, z_inpaint, m_lat = model.apply(
             params, batch["image"], batch["inpaint_image"], batch["mask"],
-            r_vae, method=PaintByExample.prepare_latents,
+            None if det_first_stage else r_vae,
+            method=PaintByExample.prepare_latents,
         )
         c = model.apply(params, batch["ref"], method=PaintByExample.get_conditioning)
         uc = model.apply(params, b, method=PaintByExample.uncond_vector)
@@ -151,8 +157,9 @@ def make_train_step(
     tx: optax.GradientTransformation,
     use_ema: bool = False,
     donate: bool = True,
+    det_first_stage: bool = False,
 ):
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model, det_first_stage=det_first_stage)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -171,10 +178,10 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model: PaintByExample):
+def make_eval_step(model: PaintByExample, det_first_stage: bool = False):
     """Validation loss (no-EMA variant of validation_step,
     latent_diffusion.py:1125-1135). Use state.ema.shadow for the _ema pass."""
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model, det_first_stage=det_first_stage)
 
     def eval_step(params, frozen, batch, rng):
         _, metrics = loss_fn(params, frozen, batch, rng)

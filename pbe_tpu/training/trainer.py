@@ -69,6 +69,7 @@ class Trainer:
         mu_dtype=None,
         consume_variables: bool = False,
         scheduler=None,
+        det_first_stage: bool = False,
     ):
         self.model = model
         self.logdir = logdir
@@ -107,9 +108,11 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh)
 
         self.train_step = jax.jit(
-            make_train_step(model, self.tx), donate_argnums=0,
+            make_train_step(model, self.tx, det_first_stage=det_first_stage),
+            donate_argnums=0,
         )
-        self.eval_step = jax.jit(make_eval_step(model))
+        self.eval_step = jax.jit(
+            make_eval_step(model, det_first_stage=det_first_stage))
 
         self._sample_pipeline = None
         ckpt_dir = Path(logdir).absolute() / "checkpoints"

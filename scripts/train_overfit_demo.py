@@ -73,6 +73,52 @@ def make_pairs(n: int = 8, size: int = 512, seed: int = 7):
             np.stack(refs).astype(np.float32))
 
 
+def build_eval_sample(model, sched):
+    """Jitted (variables, image, mask, ref, x_T, scale) ->
+    (z0, z_hat, roundtrip01, pred01): the scene's frozen-VAE latent target,
+    the DDIM-sampled latent under CFG, and both decoded to [0,1] images.
+    Weights are RUNTIME args, never closure constants — closure capture
+    bakes them into the program and blows the remote-compile request limit
+    over the axon tunnel (HTTP 413)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pbe_tpu.samplers.ddim import ddim_sample
+
+    @jax.jit
+    def eval_sample(variables, image, mask, ref, x_T, scale):
+        z0 = model.apply(variables, image, None,
+                         method=type(model).encode_first_stage)
+        rt = model.apply(variables, z0,
+                         method=type(model).decode_first_stage)
+        z_inp = model.apply(variables, image * mask, None,
+                            method=type(model).encode_first_stage)
+        hw = z_inp.shape[1:3]
+        m_lat = jax.image.resize(
+            mask, (mask.shape[0], *hw, 1), "bilinear").astype(z_inp.dtype)
+        c = model.apply(variables, ref,
+                        method=type(model).get_conditioning)
+        uc = model.apply(variables, image.shape[0],
+                         method=type(model).uncond_vector)
+        ctx2 = jnp.concatenate([uc.astype(c.dtype), c], axis=0)
+
+        def eps_fn(x9, t):
+            e = model.apply(
+                variables, jnp.concatenate([x9, x9], 0),
+                jnp.concatenate([t, t], 0), ctx2,
+                method=type(model).apply_model)
+            e_uc, e_c = jnp.split(e, 2, axis=0)
+            return e_uc + scale * (e_c - e_uc)
+
+        z_hat = ddim_sample(eps_fn, sched, x_T, z_inp, m_lat)
+        pred = model.apply(variables, z_hat,
+                           method=type(model).decode_first_stage)
+        to01 = lambda x: jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0, 1)
+        return z0, z_hat, to01(rt), to01(pred)
+
+    return eval_sample
+
+
 class FixedPairsLoader:
     """Loader yielding the same fixed batch every step (one epoch = one
     batch; Trainer.fit re-iterates per epoch). Pass a batch that is already
@@ -98,6 +144,13 @@ def main() -> None:
     p.add_argument("--outdir", default="benchmarks/overfit_demo")
     p.add_argument("--sample_steps", type=int, default=50)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--sample_posterior", action="store_true",
+                   help="per-step VAE posterior sampling (reference parity; "
+                        "latent_diffusion.py:255-262). Default OFF here: the "
+                        "random-init posterior's std is ~1.8x its mean's RMS "
+                        "(measured, PERF.md §4), so the sampled target is "
+                        "noise-dominated and memorization floors at latent "
+                        "rel-MSE ~2 no matter how well training works.")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -120,6 +173,7 @@ def main() -> None:
         model, variables, base_lr=opt.lr, logdir=opt.outdir,
         seed=0, consume_variables=True,
         scheduler=lambda step: 1.0,  # constant LR: no 10k warmup here
+        det_first_stage=not opt.sample_posterior,
     )
     del variables
     b = opt.batch
@@ -150,41 +204,67 @@ def main() -> None:
     print(f"wrote grids to {opt.outdir}/grids")
 
     # The first stage here is RANDOM-INIT (no pretrained VAE exists in this
-    # environment), so the correct memorization target is the VAE
-    # *round-trip* decode(encode(GT)) — not GT pixels: a perfectly-learned
-    # diffusion model can do no better than reproduce the latents the VAE
-    # assigns to the scene. Compare pred against that round-trip (PSNR).
+    # environment). A random decoder has a large Lipschitz constant, so tiny
+    # latent errors decode to loud pixel noise — the *decisive* memorization
+    # metric is therefore latent-space: the DDIM-sampled z_hat vs the z0 the
+    # (frozen) VAE assigns to each scene. Pixel-space comparisons use the
+    # VAE round-trip decode(encode(GT)) as the target, never raw GT.
     import jax
 
     from PIL import Image as PILImage
 
+    from pbe_tpu.schedules import SamplerSchedule
     from pbe_tpu.training.partition import merge_params
 
     merged = {"params": merge_params(trainer.state.params,
                                      trainer.state.frozen)}
+    sched = SamplerSchedule.create(model.schedule, opt.sample_steps)
+    eval_sample = build_eval_sample(model, sched)
 
-    @jax.jit
-    def roundtrip(img):
-        z0 = model.apply(merged, img, None,
-                         method=type(model).encode_first_stage)
-        rec = model.apply(merged, z0, method=type(model).decode_first_stage)
-        return jnp.clip((rec.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+    f = model.latent_downsample
+    x_T = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (len(images), images.shape[1] // f, images.shape[2] // f, 4),
+        model.dtype)
+    dimg = jnp.asarray(images, model.dtype)
+    dmask = jnp.asarray(masks, model.dtype)
+    dref = jnp.asarray(refs, model.dtype)
 
-    rt = np.asarray(roundtrip(jnp.asarray(images, model.dtype)))
-    psnr = []
-    for i in range(len(images)):
-        mse = float(np.mean((rt[i] - preds[i]) ** 2))
-        psnr.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
-        side = (np.concatenate([rt[i], preds[i]], axis=1) * 255).astype(np.uint8)
-        PILImage.fromarray(side).save(
-            os.path.join(opt.outdir, "grids", f"roundtrip_vs_pred_pair{i}.png"))
-    np.save(os.path.join(opt.outdir, "preds.npy"), preds)
-    np.save(os.path.join(opt.outdir, "roundtrip.npy"), rt)
-    print("PSNR(pred, VAE-roundtrip) per pair:",
-          [round(p, 2) for p in psnr], "mean", round(float(np.mean(psnr)), 2))
+    def latent_viz(z):
+        z3 = np.asarray(z, np.float32)[..., :3]
+        lo, hi = z3.min(), z3.max()
+        return ((z3 - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+
+    summary = {}
+    for scale in (1.0, 5.0):
+        z0, z_hat, rt, pred = jax.device_get(eval_sample(
+            merged, dimg, dmask, dref, x_T, jnp.float32(scale)))
+        z0, z_hat = np.asarray(z0, np.float32), np.asarray(z_hat, np.float32)
+        rel_mse = float(np.mean((z_hat - z0) ** 2) / np.mean(z0 ** 2))
+        psnr = []
+        for i in range(len(images)):
+            mse = float(np.mean((rt[i] - pred[i]) ** 2))
+            psnr.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+            side = (np.concatenate([rt[i], pred[i]], 1) * 255).astype(np.uint8)
+            PILImage.fromarray(side).save(os.path.join(
+                opt.outdir, "grids",
+                f"roundtrip_vs_pred_scale{scale:g}_pair{i}.png"))
+            lat = np.concatenate([latent_viz(z0[i]), latent_viz(z_hat[i])], 1)
+            PILImage.fromarray(lat).resize((512, 256), PILImage.NEAREST).save(
+                os.path.join(opt.outdir, "grids",
+                             f"latent_z0_vs_zhat_scale{scale:g}_pair{i}.png"))
+        summary[f"scale{scale:g}"] = {
+            "latent_rel_mse": rel_mse,
+            "psnr_pred_vs_roundtrip": psnr,
+            "psnr_mean": float(np.mean(psnr)),
+        }
+        print(f"scale {scale:g}: latent rel-MSE {rel_mse:.4f}, "
+              f"roundtrip PSNR mean {np.mean(psnr):.2f} dB")
+        np.save(os.path.join(opt.outdir, f"pred_scale{scale:g}.npy"), pred)
+        if scale == 5.0:
+            np.save(os.path.join(opt.outdir, "roundtrip.npy"), rt)
     with open(os.path.join(opt.outdir, "overfit_summary.json"), "w") as f:
-        json.dump({"psnr_pred_vs_roundtrip": psnr,
-                   "psnr_mean": float(np.mean(psnr))}, f)
+        json.dump(summary, f, indent=1)
 
     # compact loss curve for the record
     losses = []

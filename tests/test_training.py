@@ -115,6 +115,42 @@ def test_train_step_decreases_loss(model_and_vars):
     assert int(state.step) == 12
 
 
+def test_det_first_stage_fixes_latent_target(model_and_vars):
+    """det_first_stage=True must use the posterior MODE: the loss becomes
+    independent of the VAE-sampling rng component, and differs from the
+    sampled-posterior (reference-parity) loss under the same rng."""
+    import optax
+
+    from pbe_tpu.training.train_step import make_loss_fn
+    from pbe_tpu.training.partition import split_params
+
+    model, variables = model_and_vars
+    train, frozen = split_params(variables["params"])
+    batch = _batch(b=2)
+    rng = jax.random.PRNGKey(3)
+    # at init the UNet out-conv is zero-init so eps==0 and the LOSS value
+    # is z-independent (mean(noise^2)); gradients DO flow through z, so
+    # compare gradient norms instead of loss values.
+    det = jax.jit(jax.grad(lambda *a: make_loss_fn(
+        model, det_first_stage=True)(*a)[0]))
+    sam = jax.jit(jax.grad(lambda *a: make_loss_fn(
+        model, det_first_stage=False)(*a)[0]))
+    g_det = float(optax.global_norm(det(train, frozen, batch, rng)))
+    g_det2 = float(optax.global_norm(det(train, frozen, batch, rng)))
+    g_sam = float(optax.global_norm(sam(train, frozen, batch, rng)))
+    assert g_det == g_det2
+    assert g_det != g_sam
+    # mode latents: prepare_latents with rng=None reproduces the det target
+    merged = {"params": variables["params"]}
+    z_mode, _, _ = model.apply(
+        merged, batch["image"], batch["inpaint_image"], batch["mask"], None,
+        method=PaintByExample.prepare_latents)
+    z_sampled, _, _ = model.apply(
+        merged, batch["image"], batch["inpaint_image"], batch["mask"],
+        jax.random.PRNGKey(5), method=PaintByExample.prepare_latents)
+    assert not np.allclose(np.asarray(z_mode), np.asarray(z_sampled))
+
+
 def test_frozen_params_never_change(model_and_vars):
     model, variables = model_and_vars
     tx = make_optimizer(base_lr=1e-2, scheduler=lambda n: jnp.asarray(1.0))
