@@ -32,6 +32,7 @@ def infer_batch(
     eta: float = 0.0,
     seed: int = 42,
     paste_back: int | None = None,
+    det_first_stage: bool = False,
 ) -> np.ndarray:
     """batch: {'image','inpaint_image','mask','ref'} NHWC arrays (the
     canonical dict every pbe_tpu dataset yields). Returns predictions
@@ -40,7 +41,7 @@ def infer_batch(
         np.asarray(batch["image"]), np.asarray(batch["mask"]),
         np.asarray(batch["ref"]),
         steps=steps, scale=scale, sampler=sampler, eta=eta, seed=seed,
-        paste_back=paste_back,
+        paste_back=paste_back, det_first_stage=det_first_stage,
     )
 
 

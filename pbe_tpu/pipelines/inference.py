@@ -50,7 +50,7 @@ class EditPipeline:
 
     # -- jitted body --------------------------------------------------------
     def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True,
-               paste: int = -1):
+               paste: int = -1, det_first_stage: bool = False):
         # the ancestral sampler walks the full DDPM chain and has no use for
         # the DDIM subsequence tables
         sched = (
@@ -64,7 +64,8 @@ class EditPipeline:
             r_enc, r_sample = jax.random.split(rng)
             inpaint = image * mask
             z_inpaint = model.apply(
-                variables, inpaint, r_enc, method=PaintByExample.encode_first_stage
+                variables, inpaint, None if det_first_stage else r_enc,
+                method=PaintByExample.encode_first_stage,
             )
             hw = z_inpaint.shape[1:3]
             m_lat = jax.image.resize(
@@ -129,8 +130,8 @@ class EditPipeline:
         return run
 
     def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
-            paste: int = -1):
-        key = (steps, sampler, eta, cfg, paste)
+            paste: int = -1, det_first_stage: bool = False):
+        key = (steps, sampler, eta, cfg, paste, det_first_stage)
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         return self._fns[key]
@@ -149,13 +150,18 @@ class EditPipeline:
         seed: int = 42,
         x_T: np.ndarray | None = None,
         paste_back: int | None = None,
+        det_first_stage: bool = False,
     ) -> np.ndarray:
         """image (B,H,W,3) in [-1,1]; mask (B,H,W,1) 1=keep; ref (B,224,224,3)
         CLIP-normalized. Returns (B,H,W,3) float32 in [0,1].
 
         paste_back: None (reference-parity full decode) or a feather radius
         in pixels — composite the original pixels back outside the mask
-        (bit-exact detail preservation; 0 = hard seam)."""
+        (bit-exact detail preservation; 0 = hard seam).
+        det_first_stage: use the VAE posterior mode instead of sampling for
+        the masked-source latent (reference samples per
+        latent_diffusion.py:255-262; mode makes the edit batch-size- and
+        padding-invariant)."""
         b, h, w, _ = image.shape
         f = self.model.latent_downsample
         rng = jax.random.PRNGKey(seed)
@@ -165,7 +171,8 @@ class EditPipeline:
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
         fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0,
-                      -1 if paste_back is None else int(paste_back))
+                      -1 if paste_back is None else int(paste_back),
+                      bool(det_first_stage))
         args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),
@@ -173,11 +180,21 @@ class EditPipeline:
             jnp.asarray(x_T, self.model.dtype),
         ]
         if self._batch_sharding is not None:
+            # ragged final batches: pad to a multiple of the mesh size by
+            # repeating the last example (batch sharding needs divisibility),
+            # trim the padded rows off the output below
+            n = self._batch_sharding.mesh.size
+            pad = (-b) % n
+            if pad:
+                args = [
+                    jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+                    for a in args
+                ]
             args = [jax.device_put(a, self._batch_sharding) for a in args]
         out = fn(
             self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
         )
-        return np.asarray(out)
+        return np.asarray(out)[:b]
 
     def edit(self, image, mask, ref, **kw) -> np.ndarray:
         """Single-example convenience; HWC in, HWC out."""

@@ -18,9 +18,27 @@ import os
 _DEFAULT = os.path.expanduser("~/.cache/pbe_tpu/xla")
 
 
+def sync_platform_from_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even on hosts whose sitecustomize imports jax
+    (registering a remote-TPU backend) before env vars can take effect —
+    e.g. ``JAX_PLATFORMS=cpu`` to drive a CLI on a virtual CPU mesh."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent compile cache; returns the dir (None if
-    disabled). Safe to call multiple times and before/after backend init."""
+    disabled). Safe to call multiple times and before/after backend init.
+
+    Also syncs ``JAX_PLATFORMS`` from the environment (every CLI calls this
+    first, so platform selection works uniformly)."""
+    sync_platform_from_env()
     env = os.environ.get("PBE_COMPILATION_CACHE", "")
     if env.lower() in ("0", "off", "none", "false"):
         return None

@@ -75,6 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
                    help="composite original pixels outside the mask "
                         "(feather radius in px; omit for reference parity)")
+    p.add_argument("--det_first_stage", action="store_true",
+                   help="encode the masked source with the VAE posterior "
+                        "MODE instead of sampling (batch-size-invariant, "
+                        "reproducible edits; reference samples)")
     return p
 
 
@@ -141,6 +145,7 @@ def main() -> None:
             seed=opt.seed + it,  # RNG advances across iterations
             x_T=x_T,  # --fixed_code pins the start noise across iterations
             paste_back=opt.paste_back,
+            det_first_stage=opt.det_first_stage,
         )
         times.append(time.time() - t0)
 

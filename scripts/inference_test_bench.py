@@ -31,6 +31,12 @@ def main() -> None:
     p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
                    help="detail-preserving composite outside the mask "
                         "(feather px; omit for reference parity)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all local devices (multi-chip "
+                        "serving; ragged final batches are padded+trimmed)")
+    p.add_argument("--det_first_stage", action="store_true",
+                   help="posterior-MODE masked-source latents "
+                        "(batch-size-invariant; reference samples)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -44,6 +50,8 @@ def main() -> None:
 
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
     pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
+    if opt.data_parallel:
+        pipeline.shard()
 
     ds = COCOEEDataset(opt.test_bench_dir)
     if opt.limit:
@@ -71,6 +79,7 @@ def main() -> None:
                 pipeline, batch, steps=opt.ddim_steps, scale=opt.scale,
                 sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
                 seed=opt.seed, paste_back=opt.paste_back,
+                det_first_stage=opt.det_first_stage,
             )
             t_total += time.time() - t0
             writer.submit(save_results, list(batch["id"]), preds, batch)

@@ -36,6 +36,12 @@ def main() -> None:
     p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER",
                    help="detail-preserving composite outside the mask "
                         "(feather px; omit for reference parity)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all local devices (multi-chip "
+                        "serving; ragged final batches are padded+trimmed)")
+    p.add_argument("--det_first_stage", action="store_true",
+                   help="posterior-MODE masked-source latents "
+                        "(batch-size-invariant; reference samples)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -46,12 +52,14 @@ def main() -> None:
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
     pipeline, _ = load_pipeline(opt.fpath_config, opt.fpath_checkpoint or None,
                                 dtype=dtype)
+    if opt.data_parallel:
+        pipeline.shard()
     n = infer_all(
         pipeline, opt.image_dir, opt.mask_dir, opt.reference_dir, opt.outdir,
         size=(opt.H, opt.W), batch_size=opt.batch_size,
         steps=opt.ddim_steps, scale=opt.scale,
         sampler="plms" if opt.use_plms else "ddim", seed=opt.seed,
-        paste_back=opt.paste_back,
+        paste_back=opt.paste_back, det_first_stage=opt.det_first_stage,
     )
     print(f"wrote {n} edits to {opt.outdir}")
 

@@ -62,6 +62,29 @@ def test_sharded_serving_matches_single_device():
     np.testing.assert_allclose(plain, sharded, atol=2e-4)
 
 
+def test_sharded_serving_pads_ragged_batch():
+    """A batch not divisible by the mesh (e.g. the last test-bench batch) is
+    padded by repeating the final example and trimmed back — outputs for the
+    real rows must match the unsharded pipeline."""
+    model, variables = _pipeline()
+    image, mask, ref = _inputs(5)
+    x_T = np.random.default_rng(1).standard_normal((5, 8, 8, 4)).astype(np.float32)
+    # det_first_stage: the posterior-*sampling* noise draw is shaped by the
+    # (padded) batch, so bitwise parity across batch sizes needs mode latents
+    kw = dict(steps=3, scale=5.0, seed=0, x_T=x_T, det_first_stage=True)
+
+    plain = EditPipeline(model, variables).edit_batch(image, mask, ref, **kw)
+    sharded = EditPipeline(model, variables).shard().edit_batch(
+        image, mask, ref, **kw)
+    assert sharded.shape == plain.shape == (5, 16, 16, 3)
+    np.testing.assert_allclose(plain, sharded, atol=2e-4)
+
+    # the reference-parity sampled-posterior path still runs padded+trimmed
+    out = EditPipeline(model, variables).shard().edit_batch(
+        image, mask, ref, steps=2, scale=1.0, seed=0)
+    assert out.shape == (5, 16, 16, 3) and np.isfinite(out).all()
+
+
 def test_ddpm_ancestral_runs_and_terminates():
     sched = DiffusionSchedule.create(20, "linear", 0.00085, 0.0120)
 
