@@ -370,6 +370,41 @@ def convert_clip_vision_state_dict(
     return {"params": params}, dropped
 
 
+def convert_safety_checker_state_dict(
+    state_dict: Mapping[str, Any], dtype: Any = np.float32
+) -> tuple[dict, list[str]]:
+    """Convert a diffusers StableDiffusionSafetyChecker state_dict to
+    ``models.safety.SafetyChecker`` params.
+
+    Keys: ``vision_model.vision_model.*`` (a CLIPVisionModel submodule —
+    strip one prefix, then reuse the CLIP key map), ``visual_projection.
+    weight`` (bias-free Linear), and the four concept banks stored as
+    buffers at the root.
+    """
+    _root = {
+        "concept_embeds", "special_care_embeds",
+        "concept_embeds_weights", "special_care_embeds_weights",
+    }
+    params: dict = {}
+    dropped: list[str] = []
+    for key, value in state_dict.items():
+        arr = np.asarray(value, dtype=dtype)
+        if key in _root:
+            _set_path(params, (key,), arr)
+            continue
+        if key == "visual_projection.weight":
+            _set_path(params, ("visual_projection", "kernel"), _t_linear(arr))
+            continue
+        if key.startswith("vision_model."):
+            mapped = _convert_clip_key(key.removeprefix("vision_model."), arr.shape)
+            if mapped is not None:
+                path, transform = mapped
+                _set_path(params, ("vision_model",) + path, transform(arr))
+                continue
+        dropped.append(key)
+    return {"params": params}, dropped
+
+
 def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
     """Load a Lightning/torch .ckpt into {key: numpy} without needing CUDA."""
     import torch

@@ -7,10 +7,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# CLIP preprocessing statistics (scripts/inference.py:42-43).
-CLIP_MEAN = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-CLIP_STD = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+# CLIP preprocessing statistics (scripts/inference.py:42-43). Kept as host
+# (numpy) constants: a module-level jnp.asarray would initialize the device
+# backend at import time — every CLI would open the TPU tunnel (and hang if
+# it is down) just to import the package.
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def normalize_image(x01: jnp.ndarray) -> jnp.ndarray:

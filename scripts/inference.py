@@ -6,9 +6,14 @@ the reference's output layout (:282-399).
 Differences by design:
   * runs the whole edit as ONE compiled XLA program on TPU (bf16 by default);
     --precision full switches to fp32
-  * the diffusers safety checker (whose output the reference discards at
-    :351) and the invisible-watermark stamp are omitted — both are
-    CUDA/OpenCV-ecosystem extras outside the editing capability
+  * the invisible 'Paint-by-Example' watermark is reimplemented in
+    numpy (pbe_tpu/utils/watermark.py) and stamped on every result as the
+    reference does (:25-27, 377-384); --no_watermark disables it
+  * the safety checker (reference :28-30, :97-100) is reimplemented
+    TPU-native (pbe_tpu/models/safety.py) and runs when the user supplies
+    the CompVis safety-checker weights via --safety_ckpt (zero-egress:
+    nothing auto-downloads). Matching the reference — which discards the
+    checker's verdict at :351 — it is report-only unless --enforce_safety
   * --n_iter actually loops the sampler n_iter times with an advancing RNG
     (the reference snapshot defines the flag at :170 but never reads it),
     and each sample beyond the first gets an indexed filename instead of
@@ -79,6 +84,16 @@ def get_parser() -> argparse.ArgumentParser:
                    help="encode the masked source with the VAE posterior "
                         "MODE instead of sampling (batch-size-invariant, "
                         "reproducible edits; reference samples)")
+    p.add_argument("--safety_ckpt", type=str,
+                   default=os.environ.get("PBE_SAFETY_CKPT", ""),
+                   help="path to the CompVis stable-diffusion-safety-checker "
+                        "weights (torch .bin/.ckpt or .safetensors); when "
+                        "set, every result is screened (reference "
+                        "scripts/inference.py:28-30,97-100)")
+    p.add_argument("--enforce_safety", action="store_true",
+                   help="black out flagged frames; default is report-only, "
+                        "matching the reference (it discards the checker's "
+                        "verdict at scripts/inference.py:351)")
     return p
 
 
@@ -101,6 +116,12 @@ def main() -> None:
         "configs", "v1.yaml",
     )
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype)
+
+    safety = None
+    if opt.safety_ckpt:
+        from pbe_tpu.models.safety import load_safety_checker
+
+        safety = load_safety_checker(opt.safety_ckpt)
 
     os.makedirs(opt.outdir, exist_ok=True)
     sample_path = os.path.join(opt.outdir, "source")
@@ -148,6 +169,18 @@ def main() -> None:
             det_first_stage=opt.det_first_stage,
         )
         times.append(time.time() - t0)
+
+        if safety is not None:
+            # reference: check_safety on the decoded batch (:350); verdict
+            # applied only under --enforce_safety (the reference discards
+            # it at :351)
+            out, has_nsfw = safety.check(
+                np.asarray(out), enforce=opt.enforce_safety)
+            for i, flag in enumerate(has_nsfw):
+                if flag:
+                    action = "blacked out" if opt.enforce_safety else \
+                        "report-only, kept (reference semantics)"
+                    print(f"safety: sample {it * b + i} flagged NSFW — {action}")
 
         if opt.skip_save:
             continue
