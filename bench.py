@@ -143,7 +143,37 @@ def _true_flops() -> dict | None:
 def main() -> None:
     from pbe_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # When the axon tunnel is down, backend init blocks forever with no
+    # error (observed: multi-hour outage, r3). Emit a diagnosable record
+    # instead of hanging the driver. Only backend init is under the
+    # watchdog — the (legitimately long) first compile is not.
+    import threading
+
+    init_done = threading.Event()
+    init_budget = float(os.environ.get("PBE_BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _watchdog() -> None:
+        if not init_done.wait(timeout=init_budget):
+            print(json.dumps({
+                "metric": f"{SIZE}^2 edits/sec/chip ({STEPS}-step "
+                          f"{SAMPLER.upper()}, bf16, batch {BATCH})",
+                "value": 0.0,
+                "unit": "edits/s",
+                "vs_baseline": 0.0,
+                "error": f"TPU backend init exceeded {init_budget:.0f}s "
+                         "(tunnel down?)",
+            }))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
+
+    jax.devices()  # force backend init under the watchdog
+    init_done.set()
+
     import jax.numpy as jnp
     import numpy as np
 
