@@ -1,0 +1,220 @@
+"""Dynamic micro-batching edit server.
+
+Production serving layer over :class:`~pbe_tpu.pipelines.inference.
+EditPipeline` — the deployment story the reference leaves at "run the CLI"
+(scripts/inference.py drives one image per process; scripts/
+inference_test_bench.py one fixed batch). TPU-first design:
+
+- **One compiled program per batch bucket.** Concurrent requests are
+  coalesced into the smallest bucket that fits (default 1/2/4/8) so XLA
+  sees a handful of static shapes; padding rows repeat the last request
+  and are trimmed from the output. ``warmup()`` pre-compiles every bucket.
+- **A single dispatch thread** owns the device: batches are formed on the
+  host, submitted serially (the TPU runs one program at a time anyway),
+  and results fan back out through per-request futures.
+- **Batch-size-invariant results.** Each request's start noise ``x_T`` is
+  derived from its own seed on the host (numpy Philox), and the masked-
+  source latent uses the VAE posterior *mode* by default
+  (``det_first_stage``) — so a request's output does not depend on which
+  other requests happened to share its batch. Set
+  ``det_first_stage=False`` for reference-parity posterior sampling (then
+  co-batching perturbs the encode noise draw).
+- **Multi-chip**: pass a pipeline prepared with ``pipeline.shard(mesh)``
+  and every batch is sharded over the mesh's chips (params replicated,
+  batch split — the serving sharding from BASELINE configs).
+
+The server is deployment-of-one-config: sampler/steps/scale/paste_back are
+fixed at construction (each combination is its own compiled program);
+per-request knobs are the inputs and the seed.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Request:
+    image: np.ndarray   # (H,W,3) in [-1,1]
+    mask: np.ndarray    # (H,W,1), 1 = keep
+    ref: np.ndarray     # (224,224,3) CLIP-normalized
+    seed: int
+    future: Future
+    enqueued_at: float
+
+
+class EditServer:
+    """Micro-batching server over a (possibly sharded) EditPipeline."""
+
+    def __init__(
+        self,
+        pipeline,
+        *,
+        steps: int = 50,
+        sampler: str = "plms",
+        scale: float = 5.0,
+        eta: float = 0.0,
+        paste_back: int | None = None,
+        det_first_stage: bool = True,
+        buckets: Sequence[int] = (1, 2, 4, 8),
+        max_wait_ms: float = 20.0,
+        queue_depth: int = 256,
+    ) -> None:
+        self.pipeline = pipeline
+        self.steps = int(steps)
+        self.sampler = sampler
+        self.scale = float(scale)
+        self.eta = float(eta)
+        self.paste_back = paste_back
+        self.det_first_stage = bool(det_first_stage)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets or self.buckets[0] < 1:
+            raise ValueError(f"bad buckets {buckets!r}")
+        self.max_wait_ms = float(max_wait_ms)
+        self._queue: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_rows": 0,
+            "batch_occupancy_sum": 0.0, "latency_sum_s": 0.0,
+            "errors": 0,
+        }
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="edit-server", daemon=True)
+        self._worker.start()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, image: np.ndarray, mask: np.ndarray, ref: np.ndarray,
+               *, seed: int = 42) -> Future:
+        """Enqueue one edit; returns a Future resolving to (H,W,3) [0,1]."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        if image.ndim != 3 or mask.ndim != 3 or ref.ndim != 3:
+            raise ValueError("submit() takes single HWC examples")
+        fut: Future = Future()
+        self._queue.put(_Request(
+            np.asarray(image), np.asarray(mask), np.asarray(ref),
+            int(seed), fut, time.perf_counter()))
+        return fut
+
+    def edit(self, image, mask, ref, *, seed: int = 42,
+             timeout: float | None = None) -> np.ndarray:
+        return self.submit(image, mask, ref, seed=seed).result(timeout)
+
+    def warmup(self, height: int = 512, width: int = 512) -> None:
+        """Compile every bucket's program up front (blocking)."""
+        img = np.zeros((height, width, 3), np.float32)
+        msk = np.ones((height, width, 1), np.float32)
+        ref = np.zeros((224, 224, 3), np.float32)
+        for b in self.buckets:
+            fs = [self.submit(img, msk, ref, seed=i) for i in range(b)]
+            for f in fs:
+                f.result()
+
+    def stats(self) -> dict[str, Any]:
+        with self._stats_lock:
+            s = dict(self._stats)
+        n, b = s.pop("batch_occupancy_sum"), s["batches"]
+        s["mean_batch_occupancy"] = (n / b) if b else 0.0
+        s["mean_latency_s"] = (s.pop("latency_sum_s") / s["requests"]
+                               if s["requests"] else 0.0)
+        return s
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain the queue, stop the worker, fail any late submits."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)  # wake + stop sentinel
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "EditServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- batching core ------------------------------------------------------
+
+    def _collect(self) -> list[_Request] | None:
+        """Block for the first request, then coalesce until the deadline or
+        the largest bucket fills. Returns None on the shutdown sentinel."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1000.0
+        max_b = self.buckets[-1]
+        while len(batch) < max_b:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post for the outer loop
+                break
+            batch.append(nxt)
+        return batch
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _x_T(self, seed: int, h: int, w: int) -> np.ndarray:
+        f = self.pipeline.model.latent_downsample
+        return np.random.default_rng(np.uint64(seed)).standard_normal(
+            (h // f, w // f, 4)).astype(np.float32)
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            n = len(batch)
+            bucket = self._bucket_for(n)
+            try:
+                image = np.stack([r.image for r in batch])
+                mask = np.stack([r.mask for r in batch])
+                ref = np.stack([r.ref for r in batch])
+                x_T = np.stack([
+                    self._x_T(r.seed, r.image.shape[0], r.image.shape[1])
+                    for r in batch])
+                pad = bucket - n
+                if pad:
+                    rep = lambda a: np.concatenate(
+                        [a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+                    image, mask, ref, x_T = map(rep, (image, mask, ref, x_T))
+                out = self.pipeline.edit_batch(
+                    image, mask, ref,
+                    steps=self.steps, scale=self.scale, sampler=self.sampler,
+                    eta=self.eta, x_T=x_T, paste_back=self.paste_back,
+                    det_first_stage=self.det_first_stage,
+                )
+                done = time.perf_counter()
+                with self._stats_lock:
+                    self._stats["requests"] += n
+                    self._stats["batches"] += 1
+                    self._stats["padded_rows"] += pad
+                    self._stats["batch_occupancy_sum"] += n / bucket
+                    self._stats["latency_sum_s"] += sum(
+                        done - r.enqueued_at for r in batch)
+                for i, r in enumerate(batch):
+                    r.future.set_result(out[i])
+            except Exception as e:  # propagate to every waiter, keep serving
+                with self._stats_lock:
+                    self._stats["errors"] += 1
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -1,0 +1,158 @@
+"""EditServer micro-batcher: coalescing, bucketing, batch-invariance,
+error propagation, shutdown. Tiny model on CPU (serving layer has no
+reference counterpart — the reference deploys via one-image CLI runs)."""
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbe_tpu.models.clip_vit import CLIPVisionConfig
+from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+from pbe_tpu.models.pbe import PaintByExample
+from pbe_tpu.models.unet import UNetConfig
+from pbe_tpu.models.vae import AutoencoderKLConfig
+from pbe_tpu.pipelines.inference import EditPipeline
+from pbe_tpu.serving import EditServer
+
+S = 32  # image side
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = PaintByExample(
+        unet_config=UNetConfig(model_channels=8, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               num_heads=2, context_dim=768,
+                               use_checkpoint=False),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 8, "ch_mult": [1, 2, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": S},
+            embed_dim=4),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1, num_heads=4,
+                                  mlp_dim=32, patch_size=8, image_size=32),
+            mapper_layers=1),
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, S, S, 3)), jnp.ones((1, S, S, 1)),
+        jnp.zeros((1, S, S, 3)), rng, method=PaintByExample.initialize_all)
+    variables = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(0)
+        .standard_normal(p.shape).astype(np.float32), variables)
+    return EditPipeline(model, variables)
+
+
+def _example(i: int):
+    g = np.random.default_rng(i)
+    image = g.uniform(-1, 1, (S, S, 3)).astype(np.float32)
+    mask = np.ones((S, S, 1), np.float32)
+    mask[8:24, 8:24] = 0.0
+    ref = g.standard_normal((32, 32, 3)).astype(np.float32)
+    return image, mask, ref
+
+
+def test_single_request_roundtrip(pipeline):
+    with EditServer(pipeline, steps=2, buckets=(1, 2), max_wait_ms=1) as srv:
+        image, mask, ref = _example(0)
+        out = srv.edit(image, mask, ref, seed=7, timeout=120)
+        assert out.shape == (S, S, 3)
+        assert np.isfinite(out).all() and 0.0 <= out.min() and out.max() <= 1.0
+        st = srv.stats()
+        assert st["requests"] == 1 and st["batches"] == 1
+
+
+def test_results_are_batch_invariant(pipeline):
+    """A request's output must not depend on its batch-mates: solo result ==
+    result when co-batched with other requests (per-request x_T + posterior
+    mode first stage)."""
+    image, mask, ref = _example(1)
+    with EditServer(pipeline, steps=2, buckets=(1, 2, 4),
+                    max_wait_ms=1) as srv:
+        solo = srv.edit(image, mask, ref, seed=11, timeout=120)
+
+    with EditServer(pipeline, steps=2, buckets=(4,), max_wait_ms=500) as srv:
+        futs = [srv.submit(*_example(k), seed=100 + k) for k in (2, 3)]
+        futs.append(srv.submit(image, mask, ref, seed=11))
+        outs = [f.result(120) for f in futs]
+        st = srv.stats()
+    assert st["batches"] == 1, st  # all three coalesced (+1 padded row)
+    assert st["padded_rows"] == 1, st
+    # semantic invariance; tiny tolerance for XLA batch-size-dependent
+    # fusion/layout choices
+    np.testing.assert_allclose(outs[2], solo, atol=1e-5)
+
+
+def test_coalescing_and_bucketing(pipeline):
+    with EditServer(pipeline, steps=2, buckets=(1, 2, 4),
+                    max_wait_ms=400) as srv:
+        futs = [srv.submit(*_example(k), seed=k) for k in range(3)]
+        outs = [f.result(120) for f in futs]
+        st = srv.stats()
+    assert all(o.shape == (S, S, 3) for o in outs)
+    assert st["requests"] == 3
+    assert st["batches"] == 1          # one coalesced batch
+    assert st["padded_rows"] == 1      # 3 -> bucket 4
+    assert 0.0 < st["mean_batch_occupancy"] <= 1.0
+    # distinct seeds -> distinct noise -> distinct edits
+    assert not np.array_equal(outs[0], outs[1])
+
+
+def test_seed_determinism_across_servers(pipeline):
+    image, mask, ref = _example(4)
+    def run_once():
+        with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as s:
+            return s.edit(image, mask, ref, seed=99, timeout=120)
+    np.testing.assert_array_equal(run_once(), run_once())
+
+
+def test_error_propagates_and_server_survives(pipeline):
+    with EditServer(pipeline, steps=2, buckets=(1, 2), max_wait_ms=1) as srv:
+        image, mask, ref = _example(5)
+        bad = srv.submit(image[: S // 2], mask, ref)  # wrong spatial shape
+        with pytest.raises(Exception):
+            bad.result(120)
+        # server keeps serving afterwards
+        ok = srv.edit(image, mask, ref, seed=1, timeout=120)
+        assert ok.shape == (S, S, 3)
+        assert srv.stats()["errors"] == 1
+
+
+def test_submit_after_close_raises(pipeline):
+    srv = EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1)
+    srv.close()
+    image, mask, ref = _example(6)
+    with pytest.raises(RuntimeError):
+        srv.submit(image, mask, ref)
+
+
+def test_concurrent_submitters(pipeline):
+    """Many client threads, one device thread: all futures resolve, results
+    deterministic per seed."""
+    with EditServer(pipeline, steps=2, buckets=(1, 2, 4),
+                    max_wait_ms=30) as srv:
+        results: dict[int, np.ndarray] = {}
+        lock = threading.Lock()
+
+        def client(k: int):
+            image, mask, ref = _example(7)
+            out = srv.edit(image, mask, ref, seed=k, timeout=180)
+            with lock:
+                results[k] = out
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(240)
+        st = srv.stats()
+    assert len(results) == 6
+    assert st["requests"] == 6
+    assert st["batches"] <= 6  # at least some coalescing is allowed, none required
+    # same inputs, different seeds -> different outputs
+    assert not np.array_equal(results[0], results[1])
