@@ -1,0 +1,130 @@
+"""Serving throughput benchmark: concurrent clients against EditServer.
+
+Measures sustained edits/s and batching behavior of the micro-batcher at a
+given offered concurrency — the serving counterpart of bench.py's
+device-only numbers (bench.py measures the compiled program; this measures
+the full dispatch path: queue -> coalesce -> pad -> device -> fan-out).
+
+    JAX_PLATFORMS=cpu python scripts/bench_serving.py \
+        --config configs/tiny.yaml --H 64 --W 64 --ddim_steps 2 \
+        --n_requests 24 --concurrency 8          # CPU smoke
+    python scripts/bench_serving.py --n_requests 64 --concurrency 8 \
+        --warmup                                  # real chip, v1 geometry
+
+Prints one JSON line: edits/s, p50/p95 client latency, mean batch
+occupancy, batches.
+"""
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--scale", type=float, default=5.0)
+    p.add_argument("--precision", type=str, choices=["full", "autocast"],
+                   default="autocast")
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--max_wait_ms", type=float, default=50.0)
+    p.add_argument("--n_requests", type=int, default=64)
+    p.add_argument("--concurrency", type=int, default=8,
+                   help="client threads keeping requests in flight")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile every bucket before timing")
+    p.add_argument("--data_parallel", action="store_true")
+    return p
+
+
+def main() -> None:
+    from pbe_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    opt = get_parser().parse_args()
+
+    import jax.numpy as jnp
+
+    from pbe_tpu.pipelines.loading import load_pipeline
+    from pbe_tpu.serving import EditServer
+
+    dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    config = opt.config or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "v1.yaml")
+    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
+                                verbose=False)
+    if opt.data_parallel:
+        pipeline = pipeline.shard()
+    server = EditServer(
+        pipeline, steps=opt.ddim_steps, scale=opt.scale,
+        buckets=opt.buckets, max_wait_ms=opt.max_wait_ms)
+
+    g = np.random.default_rng(0)
+    image = g.uniform(-1, 1, (opt.H, opt.W, 3)).astype(np.float32)
+    mask = np.ones((opt.H, opt.W, 1), np.float32)
+    q = opt.H // 4
+    mask[q: 3 * q, q: 3 * q] = 0.0
+    try:
+        ref_size = pipeline.model.cond_config.clip.image_size
+    except AttributeError:
+        ref_size = 224
+    ref = g.standard_normal((ref_size, ref_size, 3)).astype(np.float32)
+
+    if opt.warmup:
+        server.warmup(opt.H, opt.W)
+
+    latencies: list[float] = []
+    lock = threading.Lock()
+    counter = iter(range(opt.n_requests))
+
+    def client() -> None:
+        while True:
+            with lock:
+                k = next(counter, None)
+            if k is None:
+                return
+            t0 = time.perf_counter()
+            out = server.edit(image, mask, ref, seed=k)
+            dt = time.perf_counter() - t0
+            assert out.shape == (opt.H, opt.W, 3)
+            with lock:
+                latencies.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client)
+               for _ in range(opt.concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = server.stats()
+    server.close()
+
+    lat = np.asarray(sorted(latencies))
+    print(json.dumps({
+        "metric": f"served {opt.H}x{opt.W} edits/s "
+                  f"({opt.ddim_steps}-step, concurrency {opt.concurrency})",
+        "value": round(opt.n_requests / wall, 4),
+        "unit": "edits/s",
+        "wall_s": round(wall, 2),
+        "p50_latency_s": round(float(lat[len(lat) // 2]), 3),
+        "p95_latency_s": round(float(lat[int(len(lat) * 0.95) - 1]), 3),
+        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
+        "batches": stats["batches"],
+        "padded_rows": stats["padded_rows"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
