@@ -5,7 +5,11 @@ import sys
 
 
 def _run(env_extra, code):
-    env = {**os.environ, **env_extra}
+    # Pin the platform in the ENV: the harness exports JAX_PLATFORMS=axon
+    # and enable_compilation_cache() re-syncs config from the env, which
+    # would clobber the in-process cpu override and run the subprocess
+    # against the remote TPU tunnel (hanging the test when it is down).
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", **env_extra}
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, env=env, cwd="/root/repo", timeout=240)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -43,6 +43,7 @@ def test_two_process_trajectory_matches_single_process(tmp_path):
     env = dict(os.environ)
     # workers set their own 4-device XLA flag; drop the harness's 8
     env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"  # never let workers touch the TPU tunnel
     logs = []
     procs = []
     for rank in (0, 1):
