@@ -72,6 +72,8 @@ def main() -> None:
     # idles on host IO (round-2 measured 0.72 edits/s sync vs 1.11
     # device-only on this single-core host — PERF.md §2)
     total, t_total = 0, 0.0
+    t_run = time.time()
+    steady_t0, steady_n0 = None, 0  # wall clock from after the first batch
     with AsyncWriter(workers=2, max_queue=4) as writer:
         for batch in dl:
             t0 = time.time()
@@ -84,11 +86,22 @@ def main() -> None:
             t_total += time.time() - t0
             writer.submit(save_results, list(batch["id"]), preds, batch)
             total += len(preds)
+            if steady_t0 is None:
+                # first batch paid the compile + cache load; steady-state
+                # wall rate (incl. host decode/encode IO) starts here
+                steady_t0, steady_n0 = time.time(), total
             print(f"{total}/{len(ds)} pairs, "
-                  f"{total / max(t_total, 1e-9):.3f} edits/s", flush=True)
+                  f"{total / max(t_total, 1e-9):.3f} edits/s device-side",
+                  flush=True)
 
-    print(f"done: {total} edits in {t_total:.1f}s device-side "
-          f"({total / max(t_total, 1e-9):.3f} edits/s incl. first compile)")
+    wall = time.time() - t_run
+    msg = (f"done: {total} edits in {wall:.1f}s wall / {t_total:.1f}s "
+           f"device-side ({total / max(t_total, 1e-9):.3f} edits/s "
+           f"device-side incl. first compile)")
+    if steady_t0 is not None and total > steady_n0:
+        steady = (total - steady_n0) / max(time.time() - steady_t0, 1e-9)
+        msg += f"; steady-state {steady:.3f} edits/s wall incl. host IO"
+    print(msg)
 
 
 if __name__ == "__main__":
