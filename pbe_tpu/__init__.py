@@ -15,6 +15,7 @@ Layout:
     pbe_tpu.evaltools  FID / CLIP score / QS(GMM) evaluation
     pbe_tpu.convert    torch checkpoint -> JAX pytree converter
     pbe_tpu.pipelines  end-to-end jitted edit pipelines
+    pbe_tpu.serving    micro-batching online edit server
 """
 
 __version__ = "0.1.0"

@@ -104,3 +104,27 @@ def test_ddpm_ancestral_runs_and_terminates():
         jax.random.PRNGKey(1),
     )
     np.testing.assert_array_equal(np.asarray(x0), np.asarray(x0b))
+
+
+def test_edit_server_over_sharded_pipeline():
+    """EditServer + pipeline.shard(): requests coalesce, pad to the bucket,
+    shard over the 8-device mesh, and match the unsharded solo result."""
+    from pbe_tpu.serving import EditServer
+
+    model, variables = _pipeline()
+    image, mask, ref = _inputs(1)
+    solo = EditPipeline(model, variables).edit_batch(
+        image, mask, ref, steps=3, scale=5.0, det_first_stage=True,
+        x_T=np.random.default_rng(np.uint64(17)).standard_normal(
+            (1, 8, 8, 4)).astype(np.float32))
+
+    sharded = EditPipeline(model, variables).shard()
+    with EditServer(sharded, steps=3, buckets=(8,), max_wait_ms=300) as srv:
+        futs = [srv.submit(image[0], mask[0], ref[0], seed=17)]
+        futs += [srv.submit(*(a[0] for a in _inputs(1)), seed=100 + k)
+                 for k in range(4)]
+        outs = [f.result(240) for f in futs]
+        st = srv.stats()
+    assert st["batches"] == 1 and st["padded_rows"] == 3, st
+    # the server derives x_T from the seed exactly like the solo call above
+    np.testing.assert_allclose(outs[0], solo[0], atol=2e-4)
