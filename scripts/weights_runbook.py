@@ -59,6 +59,9 @@ def run(cmd: list[str], log_path: str) -> str:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default="", help="trained PBE torch .ckpt")
+    p.add_argument("--config", default="configs/v1.yaml",
+                   help="model YAML for every stage (tiny.yaml + "
+                        "JAX_PLATFORMS=cpu gives a hardware-free dry run)")
     p.add_argument("--test_bench_dir", default="test_bench",
                    help="real COCOEE layout (id_list.npy + *_3500 dirs)")
     p.add_argument("--inception_weights", default="")
@@ -69,6 +72,9 @@ def main() -> None:
     p.add_argument("--n_samples", type=int, default=8, help="bench batch")
     p.add_argument("--dry_run", action="store_true",
                    help="synthetic assets + random init: mechanics only")
+    p.add_argument("--bench_size", type=int, default=512,
+                   help="synthetic dry-run bench image side (64 for the "
+                        "CPU mechanics check)")
     p.add_argument("--skip_bench", action="store_true")
     p.add_argument("--skip_metrics", action="store_true")
     opt = p.parse_args()
@@ -82,7 +88,7 @@ def main() -> None:
     ):
         opt.test_bench_dir = os.path.join(opt.outdir, "synthetic_bench")
         run([py, "scripts/make_synthetic_test_bench.py", "--n", "16",
-             "--out", opt.test_bench_dir], log)
+             "--size", str(opt.bench_size), "--out", opt.test_bench_dir], log)
 
     # 1. convert + validate ------------------------------------------------
     # (the overlay prints the strict=False missing/unexpected/mismatched
@@ -91,7 +97,7 @@ def main() -> None:
         print("== step 1: convert ==", flush=True)
         run([py, "-c",
              "from pbe_tpu.pipelines.loading import load_pipeline; "
-             f"load_pipeline('configs/v1.yaml', {opt.ckpt!r})"], log)
+             f"load_pipeline({opt.config!r}, {opt.ckpt!r})"], log)
     else:
         print("== step 1: convert SKIPPED (no --ckpt; random init) ==")
 
@@ -104,7 +110,10 @@ def main() -> None:
                "--mask_path", f"{examples}/mask/example_1.png",
                "--reference_path", f"{examples}/reference/example_1.jpg",
                "--outdir", os.path.join(opt.outdir, "golden"),
+               "--config", opt.config,
                "--seed", "321", "--scale", "5", "--plms", "--n_iter", "1"]
+        if opt.dry_run:  # mechanics-only: match the synthetic bench size
+            cmd += ["--H", str(opt.bench_size), "--W", str(opt.bench_size)]
         if opt.ckpt:
             cmd += ["--ckpt", opt.ckpt]
         run(cmd, log)
@@ -129,6 +138,7 @@ def main() -> None:
         cmd = [py, "scripts/inference_test_bench.py",
                "--outdir", os.path.join(opt.outdir, "bench"),
                "--test_bench_dir", opt.test_bench_dir,
+               "--config", opt.config,
                "--n_samples", str(opt.n_samples), "--plms", "--skip_grid"]
         if opt.ckpt:
             cmd += ["--ckpt", opt.ckpt]
@@ -153,7 +163,7 @@ def main() -> None:
         if opt.clip_weights:
             clip_cmd += ["--weights", opt.clip_weights]
         out = run(clip_cmd, log)
-        m = re.search(r"(?:CLIP|clip)[ _-]?score[:=]?\s*([0-9.]+)", out)
+        m = re.search(r"(?:CLIP|clip)[ _-]?score[^:=\n]*[:=]\s*([0-9.]+)", out)
         if m:
             measured["CLIP"] = float(m.group(1))
 
