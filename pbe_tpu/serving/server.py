@@ -182,6 +182,12 @@ class EditServer:
             batch = self._collect()
             if batch is None:
                 return
+            # honor Future.cancel(): anything cancelled while queued is
+            # dropped before it costs device time
+            batch = [r for r in batch
+                     if r.future.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             n = len(batch)
             bucket = self._bucket_for(n)
             try:

@@ -156,3 +156,22 @@ def test_concurrent_submitters(pipeline):
     assert st["batches"] <= 6  # at least some coalescing is allowed, none required
     # same inputs, different seeds -> different outputs
     assert not np.array_equal(results[0], results[1])
+
+
+def test_cancelled_request_is_skipped(pipeline):
+    """Future.cancel() while queued: the request never reaches the device,
+    later requests still serve."""
+    with EditServer(pipeline, steps=2, buckets=(1, 2),
+                    max_wait_ms=400) as srv:
+        image, mask, ref = _example(8)
+        # block the dispatch thread with a first request so the second one
+        # is definitely still queued when cancelled
+        first = srv.submit(image, mask, ref, seed=0)
+        doomed = srv.submit(image, mask, ref, seed=1)
+        assert doomed.cancel()
+        first.result(180)
+        ok = srv.edit(image, mask, ref, seed=2, timeout=180)
+        st = srv.stats()
+    assert doomed.cancelled()
+    assert ok.shape == (S, S, 3)
+    assert st["requests"] == 2  # the cancelled one never counted
