@@ -47,11 +47,7 @@ def export_edit_program(
     model = pipeline.model
     dt = model.dtype
     f = model.latent_downsample
-    ref_size = 224
-    try:
-        ref_size = model.cond_config.clip.image_size
-    except AttributeError:
-        pass
+    ref_size = pipeline.ref_size
     avals = (
         jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                      pipeline.variables),

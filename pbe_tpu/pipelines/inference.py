@@ -36,6 +36,15 @@ class EditPipeline:
         self._fns: dict[tuple, Any] = {}
         self._batch_sharding = None
 
+    @property
+    def ref_size(self) -> int:
+        """Exemplar side length the deployed CLIP tower expects (224 for
+        the production ViT-L/14; tiny test configs differ)."""
+        try:
+            return self.model.cond_config.clip.image_size
+        except AttributeError:
+            return 224
+
     def shard(self, mesh=None) -> "EditPipeline":
         """Enable multi-chip batch serving: params replicated over a data
         mesh, inputs sharded on the batch axis; XLA partitions the whole edit

@@ -43,7 +43,7 @@ import numpy as np
 class _Request:
     image: np.ndarray   # (H,W,3) in [-1,1]
     mask: np.ndarray    # (H,W,1), 1 = keep
-    ref: np.ndarray     # (224,224,3) CLIP-normalized
+    ref: np.ndarray     # (ref_size,ref_size,3) CLIP-normalized
     seed: int
     future: Future
     enqueued_at: float
@@ -65,6 +65,7 @@ class EditServer:
         buckets: Sequence[int] = (1, 2, 4, 8),
         max_wait_ms: float = 20.0,
         queue_depth: int = 256,
+        allow_batch_variant_sampling: bool = False,
     ) -> None:
         self.pipeline = pipeline
         self.steps = int(steps)
@@ -76,6 +77,14 @@ class EditServer:
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError(f"bad buckets {buckets!r}")
+        if (self.eta > 0 or sampler == "ddpm") and not allow_batch_variant_sampling:
+            # the per-batch sampling noise draw (edit_batch's r_sample) is
+            # shaped by the padded batch, so a request's output would depend
+            # on its batch-mates and could not be reproduced from its seed
+            raise ValueError(
+                "stochastic sampler config (eta>0 or ddpm) breaks the "
+                "server's batch-invariance guarantee; pass "
+                "allow_batch_variant_sampling=True to serve it anyway")
         self.max_wait_ms = float(max_wait_ms)
         self._queue: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._stats_lock = threading.Lock()
@@ -85,6 +94,7 @@ class EditServer:
             "errors": 0,
         }
         self._closed = False
+        self._lifecycle = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(
             target=self._run, name="edit-server", daemon=True)
         self._worker.start()
@@ -94,14 +104,19 @@ class EditServer:
     def submit(self, image: np.ndarray, mask: np.ndarray, ref: np.ndarray,
                *, seed: int = 42) -> Future:
         """Enqueue one edit; returns a Future resolving to (H,W,3) [0,1]."""
-        if self._closed:
-            raise RuntimeError("server is closed")
+        image, mask, ref = map(np.asarray, (image, mask, ref))
         if image.ndim != 3 or mask.ndim != 3 or ref.ndim != 3:
             raise ValueError("submit() takes single HWC examples")
         fut: Future = Future()
-        self._queue.put(_Request(
-            np.asarray(image), np.asarray(mask), np.asarray(ref),
-            int(seed), fut, time.perf_counter()))
+        req = _Request(image, mask, ref,
+                       int(seed) & 0xFFFFFFFFFFFFFFFF,  # fold into uint64
+                       fut, time.perf_counter())
+        with self._lifecycle:
+            # checked under the lock so no request can land behind the
+            # shutdown sentinel (whose put also holds the lock)
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         return fut
 
     def edit(self, image, mask, ref, *, seed: int = 42,
@@ -109,14 +124,25 @@ class EditServer:
         return self.submit(image, mask, ref, seed=seed).result(timeout)
 
     def warmup(self, height: int = 512, width: int = 512) -> None:
-        """Compile every bucket's program up front (blocking)."""
-        img = np.zeros((height, width, 3), np.float32)
-        msk = np.ones((height, width, 1), np.float32)
-        ref = np.zeros((224, 224, 3), np.float32)
+        """Compile every bucket's program up front (blocking).
+
+        Calls the pipeline directly per bucket — going through the queue
+        would race the coalescing window and could warm the wrong buckets.
+        """
+        r = self.pipeline.ref_size
         for b in self.buckets:
-            fs = [self.submit(img, msk, ref, seed=i) for i in range(b)]
-            for f in fs:
-                f.result()
+            self.pipeline.edit_batch(
+                np.zeros((b, height, width, 3), np.float32),
+                np.ones((b, height, width, 1), np.float32),
+                np.zeros((b, r, r, 3), np.float32),
+                steps=self.steps, scale=self.scale, sampler=self.sampler,
+                eta=self.eta,
+                x_T=np.zeros((b, height // self.pipeline.model.latent_downsample,
+                              width // self.pipeline.model.latent_downsample, 4),
+                             np.float32),
+                paste_back=self.paste_back,
+                det_first_stage=self.det_first_stage,
+            )
 
     def stats(self) -> dict[str, Any]:
         with self._stats_lock:
@@ -128,11 +154,13 @@ class EditServer:
         return s
 
     def close(self, timeout: float = 30.0) -> None:
-        """Drain the queue, stop the worker, fail any late submits."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # wake + stop sentinel
+        """Drain already-queued requests, stop the worker, reject late
+        submits (the lock guarantees nothing lands behind the sentinel)."""
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake + stop sentinel
         self._worker.join(timeout)
 
     def __enter__(self) -> "EditServer":
@@ -186,6 +214,22 @@ class EditServer:
             # dropped before it costs device time
             batch = [r for r in batch
                      if r.future.set_running_or_notify_cancel()]
+            # shape-mismatched requests fail individually instead of
+            # poisoning their batch-mates at np.stack
+            if batch:
+                shapes = (batch[0].image.shape, batch[0].mask.shape,
+                          batch[0].ref.shape)
+                kept = []
+                for r in batch:
+                    if (r.image.shape, r.mask.shape, r.ref.shape) == shapes:
+                        kept.append(r)
+                    else:
+                        r.future.set_exception(ValueError(
+                            f"request shapes {(r.image.shape, r.mask.shape, r.ref.shape)} "
+                            f"differ from the batch's {shapes}"))
+                        with self._stats_lock:
+                            self._stats["errors"] += 1
+                batch = kept
             if not batch:
                 continue
             n = len(batch)

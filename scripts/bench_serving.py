@@ -74,16 +74,14 @@ def main() -> None:
     mask = np.ones((opt.H, opt.W, 1), np.float32)
     q = opt.H // 4
     mask[q: 3 * q, q: 3 * q] = 0.0
-    try:
-        ref_size = pipeline.model.cond_config.clip.image_size
-    except AttributeError:
-        ref_size = 224
+    ref_size = pipeline.ref_size
     ref = g.standard_normal((ref_size, ref_size, 3)).astype(np.float32)
 
     if opt.warmup:
         server.warmup(opt.H, opt.W)
 
     latencies: list[float] = []
+    client_errors: list[str] = []
     lock = threading.Lock()
     counter = iter(range(opt.n_requests))
 
@@ -94,9 +92,14 @@ def main() -> None:
             if k is None:
                 return
             t0 = time.perf_counter()
-            out = server.edit(image, mask, ref, seed=k)
+            try:
+                out = server.edit(image, mask, ref, seed=k)
+                assert out.shape == (opt.H, opt.W, 3)
+            except Exception as e:  # count it; don't die silently
+                with lock:
+                    client_errors.append(f"request {k}: {e!r}")
+                continue
             dt = time.perf_counter() - t0
-            assert out.shape == (opt.H, opt.W, 3)
             with lock:
                 latencies.append(dt)
 
@@ -111,19 +114,24 @@ def main() -> None:
     stats = server.stats()
     server.close()
 
-    lat = np.asarray(sorted(latencies))
-    print(json.dumps({
+    record = {
         "metric": f"served {opt.H}x{opt.W} edits/s "
                   f"({opt.ddim_steps}-step, concurrency {opt.concurrency})",
-        "value": round(opt.n_requests / wall, 4),
+        "value": round(len(latencies) / wall, 4),  # completed only
         "unit": "edits/s",
         "wall_s": round(wall, 2),
-        "p50_latency_s": round(float(lat[len(lat) // 2]), 3),
-        "p95_latency_s": round(float(lat[int(len(lat) * 0.95) - 1]), 3),
+        "completed": len(latencies),
         "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
         "batches": stats["batches"],
         "padded_rows": stats["padded_rows"],
-    }))
+    }
+    if latencies:
+        record["p50_latency_s"] = round(float(np.percentile(latencies, 50)), 3)
+        record["p95_latency_s"] = round(float(np.percentile(latencies, 95)), 3)
+    if client_errors:
+        record["errors"] = len(client_errors)
+        record["first_error"] = client_errors[0]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,8 @@ def get_parser() -> argparse.ArgumentParser:
                         "smallest bucket that fits")
     p.add_argument("--max_wait_ms", type=float, default=20.0,
                    help="how long the batcher waits for co-riders")
+    p.add_argument("--max_body_mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over every chip of the slice")
     p.add_argument("--warmup", action="store_true",
@@ -60,18 +62,15 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_handler(server, size, ref_size: int | None = None):
+def make_handler(server, size, max_body_mb: int = 64):
     """Build the request handler bound to an EditServer. Split out so tests
     can drive the HTTP surface on an ephemeral port."""
     from http.server import BaseHTTPRequestHandler
 
     from pbe_tpu.data import transforms as T
 
-    if ref_size is None:  # exemplar side length from the deployed model
-        try:
-            ref_size = server.pipeline.model.cond_config.clip.image_size
-        except AttributeError:
-            ref_size = 224
+    ref_size = server.pipeline.ref_size  # exemplar side of the deployed model
+    max_body = max_body_mb * 1024 * 1024
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -99,6 +98,10 @@ def make_handler(server, size, ref_size: int | None = None):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_body:
+                    self._send(413, {"error": f"body {n} bytes exceeds "
+                                              f"{max_body} limit"})
+                    return
                 req = json.loads(self.rfile.read(n))
                 image = T.load_image(
                     io.BytesIO(base64.b64decode(req["image"])), size)
@@ -163,7 +166,7 @@ def main() -> None:
 
     from http.server import ThreadingHTTPServer
 
-    handler = make_handler(server, (opt.H, opt.W))
+    handler = make_handler(server, (opt.H, opt.W), opt.max_body_mb)
     httpd = ThreadingHTTPServer((opt.host, opt.port), handler)
     print(f"serving on http://{opt.host}:{opt.port} "
           f"(steps={opt.ddim_steps}, scale={opt.scale}, "

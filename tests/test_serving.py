@@ -175,3 +175,42 @@ def test_cancelled_request_is_skipped(pipeline):
     assert doomed.cancelled()
     assert ok.shape == (S, S, 3)
     assert st["requests"] == 2  # the cancelled one never counted
+
+
+def test_stochastic_sampler_config_rejected(pipeline):
+    with pytest.raises(ValueError, match="batch-invariance"):
+        EditServer(pipeline, steps=2, sampler="ddim", eta=1.0)
+    srv = EditServer(pipeline, steps=2, sampler="ddim", eta=1.0,
+                     allow_batch_variant_sampling=True)
+    srv.close()
+
+
+def test_mixed_shape_request_fails_alone(pipeline):
+    """A shape-mismatched request must not poison its batch-mates."""
+    with EditServer(pipeline, steps=2, buckets=(2,), max_wait_ms=500) as srv:
+        image, mask, ref = _example(9)
+        good = srv.submit(image, mask, ref, seed=1)
+        bad = srv.submit(image[: S // 2], mask[: S // 2], ref, seed=2)
+        out = good.result(180)
+        with pytest.raises(ValueError, match="differ from the batch"):
+            bad.result(180)
+        st = srv.stats()
+    assert out.shape == (S, S, 3)
+    assert st["errors"] == 1 and st["requests"] == 1
+
+
+def test_warmup_compiles_buckets_directly(pipeline):
+    """warmup() must work for non-224 CLIP models (ref size from the
+    pipeline) and precompile without racing the coalescing window."""
+    with EditServer(pipeline, steps=2, buckets=(1, 2), max_wait_ms=1) as srv:
+        srv.warmup(S, S)  # would crash with a hardcoded 224 ref
+        out = srv.edit(*_example(10), seed=0, timeout=120)
+    assert out.shape == (S, S, 3)
+
+
+def test_negative_seed_is_folded(pipeline):
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as srv:
+        image, mask, ref = _example(11)
+        out = srv.edit(image, mask, ref, seed=-1, timeout=120)
+        same = srv.edit(image, mask, ref, seed=2**64 - 1, timeout=120)
+    np.testing.assert_array_equal(out, same)
