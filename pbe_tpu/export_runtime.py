@@ -32,3 +32,36 @@ def save_edit_program(path: str, blob: bytes) -> None:
 def load_edit_program_file(path: str) -> Callable:
     with open(path, "rb") as f:
         return load_edit_program(f.read())
+
+
+def save_params_npz(path: str, variables: dict) -> None:
+    """Flatten a (nested-dict) variables pytree into one .npz — a portable,
+    pickle-free way to ship parameters next to the frozen program."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk(variables, ())
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    """Inverse of :func:`save_params_npz`."""
+    import numpy as np
+
+    tree: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return tree
