@@ -90,3 +90,16 @@ print("SUBPROC-OK")
                        text=True, env=env, timeout=420)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "SUBPROC-OK" in r.stdout
+
+
+def test_params_npz_round_trip(pipeline, tmp_path):
+    from pbe_tpu.export_runtime import load_params_npz, save_params_npz
+
+    path = str(tmp_path / "params.npz")
+    save_params_npz(path, jax.tree.map(np.asarray, pipeline.variables))
+    back = load_params_npz(path)
+    jax.tree.map(np.testing.assert_array_equal, pipeline.variables, back)
+    # structures must match exactly (same treedef), not just leaf values
+    assert (jax.tree.structure(back)
+            == jax.tree.structure(jax.tree.map(np.asarray,
+                                               pipeline.variables)))
