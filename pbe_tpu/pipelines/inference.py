@@ -59,7 +59,8 @@ class EditPipeline:
 
     # -- jitted body --------------------------------------------------------
     def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True,
-               paste: int = -1, det_first_stage: bool = False):
+               paste: int = -1, det_first_stage: bool = False,
+               out_uint8: bool = False):
         # the ancestral sampler walks the full DDPM chain and has no use for
         # the DDIM subsequence tables
         sched = (
@@ -134,13 +135,20 @@ class EditPipeline:
                 img01 = paste_back(
                     img01, orig01, mask.astype(jnp.float32), feather=paste
                 )
+            if out_uint8:
+                # device-side PNG-ready output: matches the host formula in
+                # data/transforms.to_uint8 (clip -> *255 -> round-half-even)
+                # and cuts the D2H readback 4x vs float32
+                return jnp.round(
+                    jnp.clip(img01, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             return img01
 
         return run
 
     def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
-            paste: int = -1, det_first_stage: bool = False):
-        key = (steps, sampler, eta, cfg, paste, det_first_stage)
+            paste: int = -1, det_first_stage: bool = False,
+            out_uint8: bool = False):
+        key = (steps, sampler, eta, cfg, paste, det_first_stage, out_uint8)
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         return self._fns[key]
@@ -160,9 +168,12 @@ class EditPipeline:
         x_T: np.ndarray | None = None,
         paste_back: int | None = None,
         det_first_stage: bool = False,
+        output: str = "float32",
+        block: bool = True,
     ) -> np.ndarray:
         """image (B,H,W,3) in [-1,1]; mask (B,H,W,1) 1=keep; ref (B,224,224,3)
-        CLIP-normalized. Returns (B,H,W,3) float32 in [0,1].
+        CLIP-normalized. Returns (B,H,W,3) float32 in [0,1] (or uint8 in
+        [0,255] with ``output="uint8"``).
 
         paste_back: None (reference-parity full decode) or a feather radius
         in pixels — composite the original pixels back outside the mask
@@ -170,7 +181,14 @@ class EditPipeline:
         det_first_stage: use the VAE posterior mode instead of sampling for
         the masked-source latent (reference samples per
         latent_diffusion.py:255-262; mode makes the edit batch-size- and
-        padding-invariant)."""
+        padding-invariant).
+        output: "uint8" converts on device with the exact
+        data/transforms.to_uint8 formula — a 4x smaller readback for
+        results whose destination is a PNG anyway.
+        block: False returns the (trimmed) device array without waiting —
+        JAX dispatch is asynchronous, so the caller can overlap the next
+        batch's host work with this batch's device time and read back
+        later with np.asarray()."""
         b, h, w, _ = image.shape
         f = self.model.latent_downsample
         rng = jax.random.PRNGKey(seed)
@@ -179,9 +197,12 @@ class EditPipeline:
             x_T = jax.random.normal(
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
+        if output not in ("float32", "uint8"):
+            raise ValueError(f"output must be 'float32' or 'uint8', "
+                             f"got {output!r}")
         fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0,
                       -1 if paste_back is None else int(paste_back),
-                      bool(det_first_stage))
+                      bool(det_first_stage), output == "uint8")
         args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),
@@ -203,6 +224,8 @@ class EditPipeline:
         out = fn(
             self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
         )
+        if not block:
+            return out[:b] if out.shape[0] != b else out
         return np.asarray(out)[:b]
 
     def edit(self, image, mask, ref, **kw) -> np.ndarray:

@@ -44,6 +44,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", action="store_true",
                    help="precompile every bucket before timing")
     p.add_argument("--data_parallel", action="store_true")
+    p.add_argument("--uint8_out", action="store_true",
+                   help="on-device uint8 conversion (4x smaller readback)")
     return p
 
 
@@ -67,7 +69,8 @@ def main() -> None:
         pipeline = pipeline.shard()
     server = EditServer(
         pipeline, steps=opt.ddim_steps, scale=opt.scale,
-        buckets=opt.buckets, max_wait_ms=opt.max_wait_ms)
+        buckets=opt.buckets, max_wait_ms=opt.max_wait_ms,
+        output_uint8=opt.uint8_out)
 
     g = np.random.default_rng(0)
     image = g.uniform(-1, 1, (opt.H, opt.W, 3)).astype(np.float32)
@@ -124,6 +127,7 @@ def main() -> None:
         "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
         "batches": stats["batches"],
         "padded_rows": stats["padded_rows"],
+        "uint8_out": bool(opt.uint8_out),
     }
     if latencies:
         record["p50_latency_s"] = round(float(np.percentile(latencies, 50)), 3)

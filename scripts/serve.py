@@ -25,6 +25,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -120,7 +122,8 @@ def make_handler(server, size, max_body_mb: int = 64):
                 buf = io.BytesIO()
                 from PIL import Image
 
-                Image.fromarray(T.to_uint8(out)).save(buf, format="PNG")
+                arr = out if out.dtype == np.uint8 else T.to_uint8(out)
+                Image.fromarray(arr).save(buf, format="PNG")
                 self._send(200, {
                     "result": base64.b64encode(buf.getvalue()).decode(),
                     "latency_ms": round(ms, 1),
@@ -159,6 +162,8 @@ def main() -> None:
         det_first_stage=not opt.sample_first_stage,
         buckets=opt.buckets,
         max_wait_ms=opt.max_wait_ms,
+        # results leave as PNGs — convert on device, read back 4x less
+        output_uint8=True,
     )
     if opt.warmup:
         print(f"warming up buckets {server.buckets} ...", flush=True)

@@ -214,3 +214,56 @@ def test_negative_seed_is_folded(pipeline):
         out = srv.edit(image, mask, ref, seed=-1, timeout=120)
         same = srv.edit(image, mask, ref, seed=2**64 - 1, timeout=120)
     np.testing.assert_array_equal(out, same)
+
+
+def test_uint8_output(pipeline):
+    """output_uint8=True: device-side conversion matches the host formula
+    applied to the float path (same values through the same program tail)."""
+    from pbe_tpu.data.transforms import to_uint8
+
+    image, mask, ref = _example(12)
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as srv:
+        f32 = srv.edit(image, mask, ref, seed=5, timeout=120)
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1,
+                    output_uint8=True) as srv:
+        u8 = srv.edit(image, mask, ref, seed=5, timeout=120)
+    assert u8.dtype == np.uint8 and u8.shape == (S, S, 3)
+    # XLA may fuse the convert differently than the float program; allow
+    # one code of rounding slack, require near-total exact agreement
+    diff = np.abs(u8.astype(np.int16) - to_uint8(f32).astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+
+def test_pipelined_dispatch_burst(pipeline):
+    """buckets=(1,): a burst of sequential batches exercises the
+    double-buffered path (batch k+1 dispatched while k is in flight);
+    every result must still be the request's own seed-deterministic edit."""
+    image, mask, ref = _example(13)
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as srv:
+        solo = {k: srv.edit(image, mask, ref, seed=k, timeout=120)
+                for k in range(3)}
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as srv:
+        futs = [srv.submit(image, mask, ref, seed=k) for k in range(3)]
+        outs = [f.result(120) for f in futs]
+        st = srv.stats()
+    assert st["requests"] == 3 and st["batches"] == 3
+    for k in range(3):
+        np.testing.assert_array_equal(outs[k], solo[k])
+
+
+def test_pipelined_dispatch_error_isolation(pipeline):
+    """With a batch in flight, a following bad-shape batch must fail alone
+    and the in-flight batch must still resolve."""
+    image, mask, ref = _example(14)
+    with EditServer(pipeline, steps=2, buckets=(1,), max_wait_ms=1) as srv:
+        good = srv.submit(image, mask, ref, seed=1)
+        bad = srv.submit(image[: S // 2], mask[: S // 2],
+                         ref[: S // 2], seed=2)
+        good2 = srv.submit(image, mask, ref, seed=3)
+        assert good.result(180).shape == (S, S, 3)
+        with pytest.raises(Exception):
+            bad.result(180)
+        assert good2.result(180).shape == (S, S, 3)
+        st = srv.stats()
+    assert st["errors"] == 1 and st["requests"] == 2
