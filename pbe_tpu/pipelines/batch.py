@@ -33,15 +33,18 @@ def infer_batch(
     seed: int = 42,
     paste_back: int | None = None,
     det_first_stage: bool = False,
+    output: str = "float32",
 ) -> np.ndarray:
     """batch: {'image','inpaint_image','mask','ref'} NHWC arrays (the
     canonical dict every pbe_tpu dataset yields). Returns predictions
-    (B,H,W,3) float32 in [0,1]."""
+    (B,H,W,3) float32 in [0,1] (uint8 in [0,255] with output="uint8" —
+    converted on device, 4x smaller readback)."""
     return pipeline.edit_batch(
         np.asarray(batch["image"]), np.asarray(batch["mask"]),
         np.asarray(batch["ref"]),
         steps=steps, scale=scale, sampler=sampler, eta=eta, seed=seed,
         paste_back=paste_back, det_first_stage=det_first_stage,
+        output=output,
     )
 
 

@@ -34,12 +34,18 @@ def main() -> None:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over all local devices (multi-chip "
                         "serving; ragged final batches are padded+trimmed)")
+    p.add_argument("--uint8_out", action="store_true",
+                   help="read results back as device-converted uint8 "
+                        "(4x smaller D2H; PNGs may differ by 1 LSB from "
+                        "the float path on rounding boundaries)")
     p.add_argument("--det_first_stage", action="store_true",
                    help="posterior-MODE masked-source latents "
                         "(batch-size-invariant; reference samples)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
 
     from pbe_tpu.data import transforms as T
     from pbe_tpu.data.loader import DataLoader
@@ -63,10 +69,18 @@ def main() -> None:
     os.makedirs(result_dir, exist_ok=True)
 
     def save_results(ids, preds, batch):
+        u8 = preds.dtype == np.uint8
         for i, id_ in enumerate(ids):
-            T.save_image(preds[i], os.path.join(result_dir, f"{id_}.png"))
+            path = os.path.join(result_dir, f"{id_}.png")
+            if u8:
+                Image.fromarray(preds[i]).save(path)
+            else:
+                T.save_image(preds[i], path)
         if not opt.skip_grid:
-            visualize_batch(batch, preds, grid_dir, ids=ids)
+            visualize_batch(
+                batch,
+                preds.astype(np.float32) / 255.0 if u8 else preds,
+                grid_dir, ids=ids)
 
     # PNG encode/save rides a bounded background queue so the device never
     # idles on host IO (round-2 measured 0.72 edits/s sync vs 1.11
@@ -82,6 +96,7 @@ def main() -> None:
                 sampler="plms" if opt.plms else "ddim", eta=opt.ddim_eta,
                 seed=opt.seed, paste_back=opt.paste_back,
                 det_first_stage=opt.det_first_stage,
+                output="uint8" if opt.uint8_out else "float32",
             )
             t_total += time.time() - t0
             writer.submit(save_results, list(batch["id"]), preds, batch)
