@@ -33,6 +33,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pbe_tpu.ops import quant
 from pbe_tpu.ops.attention import multi_head_attention, single_token_attention
 from pbe_tpu.ops.image import nearest_upsample_2x
 from pbe_tpu.ops.norms import GroupNorm32, LayerNormF32
@@ -59,18 +60,26 @@ def _conv(features: int, kernel: int, dtype: Any, name: str, zero_init: bool = F
     # torch Conv2d(k=3, padding=1) semantics: symmetric padding regardless of
     # stride (SAME would pad (0,1) at stride 2 and shift the grid by one).
     pad = (kernel - 1) // 2
+    extra = {}
+    if quant.is_active():  # trace-time w8a8 serving mode (ops/quant.py)
+        extra["conv_general_dilated"] = quant.conv_general_dilated_int8
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dtype=dtype, param_dtype=jnp.float32, name=name,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
         bias_init=nn.initializers.zeros,
+        **extra,
     )
 
 
 def _dense(features: int, dtype: Any, name: str, use_bias: bool = True) -> nn.Dense:
+    extra = {}
+    if quant.is_active():
+        extra["dot_general"] = quant.dot_general_int8
     return nn.Dense(
-        features, dtype=dtype, param_dtype=jnp.float32, use_bias=use_bias, name=name
+        features, dtype=dtype, param_dtype=jnp.float32, use_bias=use_bias,
+        name=name, **extra,
     )
 
 

@@ -30,9 +30,13 @@ from pbe_tpu.schedules import SamplerSchedule
 class EditPipeline:
     """Holds (model, variables) and a cache of compiled edit functions."""
 
-    def __init__(self, model: PaintByExample, variables: dict):
+    def __init__(self, model: PaintByExample, variables: dict,
+                 quantize: str | None = None):
         self.model = model
         self.variables = variables
+        # "int8": trace edit programs with w8a8 matmuls/convs in the UNet
+        # (ops/quant.py) — opt-in serving mode, ~2x on the eligible convs
+        self.quantize = quantize
         self._fns: dict[tuple, Any] = {}
         self._batch_sharding = None
 
@@ -148,9 +152,10 @@ class EditPipeline:
     def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
             paste: int = -1, det_first_stage: bool = False,
             out_uint8: bool = False):
-        key = (steps, sampler, eta, cfg, paste, det_first_stage, out_uint8)
+        key = (steps, sampler, eta, cfg, paste, det_first_stage, out_uint8,
+               self.quantize)
         if key not in self._fns:
-            self._fns[key] = self._build(*key)
+            self._fns[key] = self._build(*key[:-1])
         return self._fns[key]
 
     # -- public API ---------------------------------------------------------
@@ -221,9 +226,14 @@ class EditPipeline:
                     for a in args
                 ]
             args = [jax.device_put(a, self._batch_sharding) for a in args]
-        out = fn(
-            self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
-        )
+        from pbe_tpu.ops import quant
+
+        with quant.quantized(self.quantize):
+            # the context matters only while jit traces (first call per
+            # config); compiled executions are unaffected by it
+            out = fn(
+                self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
+            )
         if not block:
             return out[:b] if out.shape[0] != b else out
         return np.asarray(out)[:b]

@@ -97,8 +97,12 @@ def load_pipeline(
     attn_impl: str | None = None,
     seed: int = 0,
     verbose: bool = True,
+    quantize: str | None = None,
 ) -> tuple[EditPipeline, dict]:
-    """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg)."""
+    """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg).
+
+    quantize="int8": serve with w8a8 UNet matmuls/convs (ops/quant.py) —
+    opt-in; weights stay fp32, quantization happens in-program."""
     if attn_impl is None:
         from pbe_tpu.ops.attention import default_attn_impl
 
@@ -115,4 +119,4 @@ def load_pipeline(
         )
     if verbose:
         print(f"model parameters: {count_params(variables) / 1e6:.1f}M")
-    return EditPipeline(model, variables), raw
+    return EditPipeline(model, variables, quantize=quantize), raw

@@ -34,6 +34,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--scale", type=float, default=5.0)
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in)")
     p.add_argument("--precision", type=str, choices=["full", "autocast"],
                    default="autocast")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -64,7 +66,7 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                verbose=False)
+                                verbose=False, quantize=opt.quantize)
     if opt.data_parallel:
         pipeline = pipeline.shard()
     server = EditServer(
@@ -128,6 +130,7 @@ def main() -> None:
         "batches": stats["batches"],
         "padded_rows": stats["padded_rows"],
         "uint8_out": bool(opt.uint8_out),
+        "quantize": opt.quantize,
     }
     if latencies:
         record["p50_latency_s"] = round(float(np.percentile(latencies, 50)), 3)

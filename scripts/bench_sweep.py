@@ -22,6 +22,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--attn", default="pallas")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py)")
     opt = p.parse_args()
 
     import jax
@@ -34,7 +36,7 @@ def main() -> None:
 
     model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl=opt.attn)
     variables = init_variables(model, seed=0, )
-    pipeline = EditPipeline(model, variables)
+    pipeline = EditPipeline(model, variables, quantize=opt.quantize)
 
     k = jax.random.PRNGKey(0)
     b = opt.batch
@@ -51,7 +53,9 @@ def main() -> None:
         for steps in opt.steps:
             fn = pipeline._fn(steps, sampler, 0.0, True)
             args = (pipeline.variables, image, mask, ref, x_T, scale, rng)
-            out = fn(*args)
+            from pbe_tpu.ops import quant
+            with quant.quantized(opt.quantize):  # trace happens here
+                out = fn(*args)
             _ = float(jnp.mean(out))
             ts = []
             for _i in range(opt.repeats):
@@ -65,6 +69,8 @@ def main() -> None:
                 "p50_s": round(p50, 4),
                 "edits_per_s": round(b / p50, 4),
             }
+            if opt.quantize:
+                row["quantize"] = opt.quantize
             rows.append(row)
             print(json.dumps(row), flush=True)
 

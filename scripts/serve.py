@@ -43,6 +43,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim", dest="plms", action="store_false")
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in)")
     p.add_argument("--precision", type=str, choices=["full", "autocast"],
                    default="autocast")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8],
@@ -149,7 +151,8 @@ def main() -> None:
     config = opt.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
-    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype)
+    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
+                                quantize=opt.quantize)
     if opt.data_parallel:
         pipeline = pipeline.shard()
 

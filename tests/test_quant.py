@@ -1,0 +1,159 @@
+"""w8a8 int8 execution (ops/quant.py): layer-level accuracy, shape
+gating, and pipeline integration. CPU (XLA lowers int8 dot/conv on every
+backend; the speed claims are the chip probe's, benchmarks/
+int8_probe_r3.jsonl)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbe_tpu.ops import quant
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _dn_dense(lhs_ndim):
+    return (((lhs_ndim - 1,), (0,)), ((), ()))
+
+
+def test_dot_general_int8_accuracy():
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.standard_normal((512, 256)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((256, 512)) * 0.05, jnp.float32)
+    ref = jax.lax.dot_general(x, w, _dn_dense(2))
+    out = quant.dot_general_int8(x, w, _dn_dense(2))
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel  # per-channel w8 / per-tensor a8 on gaussians
+
+
+def test_dot_general_int8_gating_small_falls_back_exactly():
+    g = np.random.default_rng(1)
+    # contraction 64 < MIN_CONTRACT -> plain fp path, bitwise identical
+    x = jnp.asarray(g.standard_normal((512, 64)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((64, 512)), jnp.float32)
+    ref = jax.lax.dot_general(x, w, _dn_dense(2))
+    out = quant.dot_general_int8(x, w, _dn_dense(2))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # M=4 rows < MIN_ROWS -> fallback too
+    x2 = jnp.asarray(g.standard_normal((4, 256)), jnp.float32)
+    w2 = jnp.asarray(g.standard_normal((256, 256)), jnp.float32)
+    ref2 = jax.lax.dot_general(x2, w2, _dn_dense(2))
+    out2 = quant.dot_general_int8(x2, w2, _dn_dense(2))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def _conv(x, k, fn):
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return fn(x, k, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(1, 1),
+              rhs_dilation=(1, 1), dimension_numbers=dn)
+
+
+def test_conv_int8_accuracy():
+    g = np.random.default_rng(2)
+    x = jnp.asarray(g.standard_normal((2, 24, 24, 128)), jnp.float32)
+    k = jnp.asarray(g.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    ref = _conv(x, k, jax.lax.conv_general_dilated)
+    out = _conv(x, k, quant.conv_general_dilated_int8)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_conv_int8_gating():
+    g = np.random.default_rng(3)
+    # 8x8 spatial (the probe's 3x-regression case) -> exact fallback
+    x = jnp.asarray(g.standard_normal((2, 8, 8, 128)), jnp.float32)
+    k = jnp.asarray(g.standard_normal((3, 3, 128, 128)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_conv(x, k, quant.conv_general_dilated_int8)),
+        np.asarray(_conv(x, k, jax.lax.conv_general_dilated)))
+    # 9 input channels (the UNet's x-concat input conv) -> fallback
+    x2 = jnp.asarray(g.standard_normal((2, 32, 32, 9)), jnp.float32)
+    k2 = jnp.asarray(g.standard_normal((3, 3, 9, 128)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_conv(x2, k2, quant.conv_general_dilated_int8)),
+        np.asarray(_conv(x2, k2, jax.lax.conv_general_dilated)))
+
+
+def test_zero_init_weights_give_exact_zero():
+    g = np.random.default_rng(4)
+    x = jnp.asarray(g.standard_normal((2, 24, 24, 128)), jnp.float32)
+    k = jnp.zeros((3, 3, 128, 128), jnp.float32)
+    out = _conv(x, k, quant.conv_general_dilated_int8)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_context_is_trace_time_only():
+    assert not quant.is_active()
+    with quant.quantized("int8"):
+        assert quant.is_active()
+        with quant.quantized(None):
+            assert quant.is_active()  # None nests transparently
+    assert not quant.is_active()
+    with pytest.raises(ValueError):
+        with quant.quantized("fp4"):
+            pass
+
+
+@pytest.fixture(scope="module")
+def eligible_pipeline_pair():
+    """A CPU-sized model whose UNet layers clear the int8 gates
+    (128 channels, 16x16 latents => conv spatial 256, dense M 512)."""
+    from pbe_tpu.models.clip_vit import CLIPVisionConfig
+    from pbe_tpu.models.exemplar import ExemplarEncoderConfig
+    from pbe_tpu.models.pbe import PaintByExample
+    from pbe_tpu.models.unet import UNetConfig
+    from pbe_tpu.models.vae import AutoencoderKLConfig
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    S = 64
+    model = PaintByExample(
+        unet_config=UNetConfig(model_channels=128, channel_mult=(1,),
+                               num_res_blocks=1, attention_resolutions=(1,),
+                               num_heads=4, context_dim=768,
+                               use_checkpoint=False),
+        vae_config=AutoencoderKLConfig(
+            ddconfig={"ch": 16, "ch_mult": [1, 2, 2], "num_res_blocks": 1,
+                      "z_channels": 4, "double_z": True, "out_ch": 3,
+                      "in_channels": 3, "resolution": S},
+            embed_dim=4),
+        cond_config=ExemplarEncoderConfig(
+            clip=CLIPVisionConfig(hidden_size=1024, num_layers=1,
+                                  num_heads=4, mlp_dim=32, patch_size=8,
+                                  image_size=32),
+            mapper_layers=1))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, jnp.zeros((1, S, S, 3)), jnp.ones((1, S, S, 1)),
+        jnp.zeros((1, 32, 32, 3)), rng, method=PaintByExample.initialize_all)
+    variables = jax.tree.map(
+        lambda p: p + 0.02 * np.random.default_rng(0)
+        .standard_normal(p.shape).astype(np.float32), variables)
+    return (EditPipeline(model, variables),
+            EditPipeline(model, variables, quantize="int8"), S)
+
+
+def test_pipeline_int8_close_to_fp(eligible_pipeline_pair):
+    fp, q, S = eligible_pipeline_pair
+    g = np.random.default_rng(5)
+    image = g.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)
+    mask = np.ones((1, S, S, 1), np.float32)
+    mask[:, 16:48, 16:48] = 0.0
+    ref = g.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    a = fp.edit_batch(image, mask, ref, steps=2, seed=7)
+    b = q.edit_batch(image, mask, ref, steps=2, seed=7)
+    assert b.shape == a.shape and np.isfinite(b).all()
+    # int8 path engaged: results differ, but stay close in image space
+    assert not np.array_equal(a, b)
+    assert float(np.abs(a - b).mean()) < 0.05, float(np.abs(a - b).mean())
+
+
+def test_pipeline_int8_deterministic(eligible_pipeline_pair):
+    _, q, S = eligible_pipeline_pair
+    g = np.random.default_rng(6)
+    image = g.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)
+    mask = np.ones((1, S, S, 1), np.float32)
+    ref = g.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    a = q.edit_batch(image, mask, ref, steps=2, seed=9)
+    b = q.edit_batch(image, mask, ref, steps=2, seed=9)
+    np.testing.assert_array_equal(a, b)
