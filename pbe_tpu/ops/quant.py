@@ -7,8 +7,11 @@ of peak), and w8a8 conv3x3 *including in-program activation
 quantization* 2.08x faster at ds=2, 1.92x at ds=4, 1.30x at ds=1 — but a
 3x regression at 8x8 spatial, so small shapes are gated out below.
 
-Scheme: symmetric per-tensor activation scale (amax/127, computed
-in-program each call), symmetric per-output-channel weight scale. Both
+Scheme: symmetric per-row activation scales (amax over each example's
+non-batch axes / 127, computed in-program each call — per-row rather
+than per-tensor so a request's quantization grid never depends on its
+co-batched neighbors, preserving EditServer's batch-invariance
+guarantee), symmetric per-output-channel weight scale. Both
 quantize at call time — weights stay fp32 in the checkpoint, so one set
 of variables serves both the fp and int8 programs, and XLA folds the
 weight-side quantization into the program like any other elementwise op
@@ -32,6 +35,7 @@ No reference counterpart: zhanwenchen/pbe serves fp16/fp32 only.
 """
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 import jax
@@ -45,7 +49,17 @@ MIN_CHANNELS = 64      # conv in/out channels
 MIN_CONTRACT = 128     # dense contraction dim
 MIN_ROWS = 256         # dense M dim (rows hitting the MXU)
 
-_ACTIVE: list[str] = []  # stack; non-empty => quantize at trace time
+# trace-time mode stack; thread-local so two pipelines tracing
+# concurrently (e.g. one quantized server, one fp) can't leak the
+# context into each other's program
+_TLS = threading.local()
+
+
+def _stack() -> list:
+    s = getattr(_TLS, "stack", None)
+    if s is None:
+        s = _TLS.stack = []
+    return s
 
 
 @contextmanager
@@ -57,20 +71,25 @@ def quantized(mode: str | None = "int8"):
         return
     if mode != "int8":
         raise ValueError(f"unknown quantization mode {mode!r}")
-    _ACTIVE.append(mode)
+    s = _stack()
+    s.append(mode)
     try:
         yield
     finally:
-        _ACTIVE.pop()
+        s.pop()
 
 
 def is_active() -> bool:
-    return bool(_ACTIVE)
+    return bool(_stack())
 
 
-def _quantize_per_tensor(x: jax.Array):
+def _quantize_rows(x: jax.Array, reduce_axes: tuple[int, ...]):
+    """Symmetric int8 with one scale per kept (non-reduced) index — for
+    activations, reduce over everything but the batch axis so each
+    example quantizes on its own grid (batch-invariant)."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=reduce_axes, keepdims=True) / 127.0, 1e-8)
     q = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
     return q, s
 
@@ -97,14 +116,22 @@ def dot_general_int8(lhs, rhs, dimension_numbers, precision=None,
             or rhs.ndim != 2):
         return plain()
     k, n = rhs.shape
-    m = int(np.prod(lhs.shape[:-1]))
+    # gate on PER-EXAMPLE rows (exclude the leading batch axis): if the
+    # total-row count decided eligibility, the same layer would run int8 in
+    # a big serving bucket but fp in a small one, making a request's output
+    # depend on its bucket — the batch-invariance bug class EditServer
+    # guards against. Cost: tiny small-T denses (ds8 attention, time-embed)
+    # stay fp at every batch size; they are a negligible FLOP share.
+    m = int(np.prod(lhs.shape[1:-1])) if lhs.ndim > 2 else 1
     if k < MIN_CONTRACT or n < MIN_CONTRACT or m < MIN_ROWS:
         return plain()
-    ql, sl = _quantize_per_tensor(lhs)
+    # per-row activation scale (amax over the contraction axis only): each
+    # output row's grid depends only on its own inputs -> batch-invariant
+    ql, sl = _quantize_rows(lhs, reduce_axes=(lhs.ndim - 1,))
     qr, sr = _quantize_per_channel(rhs, channel_axis=1)  # (1, n)
     acc = jax.lax.dot_general(ql, qr, dimension_numbers,
                               preferred_element_type=jnp.int32)
-    scale = (sl * sr).reshape((1,) * (acc.ndim - 1) + (n,))
+    scale = sl * sr.reshape((1,) * (acc.ndim - 1) + (n,))
     return (acc.astype(jnp.float32) * scale).astype(lhs.dtype)
 
 
@@ -125,14 +152,24 @@ def conv_general_dilated_int8(lhs, rhs, window_strides, padding,
         return plain()
     if lhs.ndim != 4 or rhs.ndim != 4:
         return plain()
-    # flax passes NHWC/HWIO dimension_numbers (as a ConvDimensionNumbers);
-    # gate on the shapes in that layout
+    # only handle the NHWC/HWIO/NHWC layout flax emits — anything else
+    # would put the per-channel weight scales on the wrong axis, so verify
+    # the dimension numbers instead of assuming them
+    try:
+        dn = jax.lax.conv_dimension_numbers(
+            lhs.shape, rhs.shape, dimension_numbers)
+    except (TypeError, ValueError):
+        return plain()
+    if (tuple(dn.lhs_spec), tuple(dn.rhs_spec), tuple(dn.out_spec)) != (
+            (0, 3, 1, 2), (3, 2, 0, 1), (0, 3, 1, 2)):  # NHWC/HWIO/NHWC
+        return plain()
     h, w, cin = lhs.shape[1], lhs.shape[2], lhs.shape[3]
     cout = rhs.shape[3]
     if (h * w < MIN_SPATIAL or cin < MIN_CHANNELS or cout < MIN_CHANNELS
             or rhs.shape[2] != cin):
         return plain()
-    ql, sl = _quantize_per_tensor(lhs)
+    # per-example activation scale (amax over H,W,C) -> batch-invariant
+    ql, sl = _quantize_rows(lhs, reduce_axes=(1, 2, 3))
     qr, sr = _quantize_per_channel(rhs, channel_axis=3)  # (1,1,1,O)
     acc = jax.lax.conv_general_dilated(
         ql, qr, window_strides, padding, lhs_dilation=lhs_dilation,

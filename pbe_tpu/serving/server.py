@@ -95,6 +95,19 @@ class EditServer:
                 "stochastic sampler config (eta>0 or ddpm) breaks the "
                 "server's batch-invariance guarantee; pass "
                 "allow_batch_variant_sampling=True to serve it anyway")
+        if (getattr(pipeline, "quantize", None) and len(self.buckets) > 1
+                and not allow_batch_variant_sampling):
+            # int8 activation scales are per-row, so co-batched CONTENT can
+            # never change a request's output (tested bitwise) — but XLA's
+            # fp math differs across batch SHAPES at the 1e-5 level, and
+            # int8 rounding amplifies those into full quantization-step
+            # flips (~1e-2 in pixel space). One bucket = one shape = fully
+            # reproducible; multiple buckets need the explicit opt-out.
+            raise ValueError(
+                "a quantized pipeline with multiple buckets breaks the "
+                "server's reproducibility guarantee (int8 rounding "
+                "amplifies XLA's batch-shape-dependent fp noise); use a "
+                "single bucket or pass allow_batch_variant_sampling=True")
         self.max_wait_ms = float(max_wait_ms)
         self.output_uint8 = bool(output_uint8)
         self._queue: queue.Queue = queue.Queue(maxsize=queue_depth)
@@ -183,13 +196,17 @@ class EditServer:
 
     # -- batching core ------------------------------------------------------
 
-    def _collect(self, block: bool = True) -> list[_Request] | None:
+    def _collect(self, block: bool = True,
+                 in_flight=None) -> list[_Request] | None:
         """Wait for the first request, then coalesce until the deadline or
         the largest bucket fills. Returns None on the shutdown sentinel.
 
         block=False (a batch is already in flight on the device): if the
         queue is empty return [] immediately so the caller can go read the
-        in-flight result instead of stalling its waiters."""
+        in-flight result instead of stalling its waiters. While coalescing
+        with a batch in flight, the wait is chunked so a finished device
+        result cuts the window short — its waiters shouldn't sit behind a
+        full max_wait_ms of coalescing for requests that arrived later."""
         if block:
             first = self._queue.get()
         else:
@@ -206,10 +223,19 @@ class EditServer:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
+            if in_flight is not None:
+                try:
+                    if in_flight.is_ready():
+                        break  # resolve the done batch now, coalesce later
+                except Exception:
+                    break  # failed in flight: surface it promptly
+                remaining = min(remaining, 0.002)
             try:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
-                break
+                if in_flight is None:
+                    break
+                continue  # chunked wait: re-check deadline + readiness
             if nxt is None:
                 self._queue.put(None)  # re-post for the outer loop
                 break
@@ -258,7 +284,9 @@ class EditServer:
         # the queue goes idle the in-flight batch resolves immediately.
         pending = None  # (requests, n, pad, bucket, device_out)
         while True:
-            batch = self._collect(block=pending is None)
+            batch = self._collect(
+                block=pending is None,
+                in_flight=pending[4] if pending is not None else None)
             if batch is None:  # shutdown sentinel
                 if pending is not None:
                     self._resolve(pending)

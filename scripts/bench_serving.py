@@ -72,6 +72,10 @@ def main() -> None:
     server = EditServer(
         pipeline, steps=opt.ddim_steps, scale=opt.scale,
         buckets=opt.buckets, max_wait_ms=opt.max_wait_ms,
+        # throughput bench: multi-bucket int8 waives seed-reproducibility
+        # (int8 results are bucket-shape-dependent — see EditServer)
+        allow_batch_variant_sampling=bool(opt.quantize)
+        and len(set(opt.buckets)) > 1,
         output_uint8=opt.uint8_out)
 
     g = np.random.default_rng(0)

@@ -60,7 +60,11 @@ def main() -> None:
             ts = []
             for _i in range(opt.repeats):
                 t0 = time.perf_counter()
-                out = fn(*args)
+                # keep the context active so a mid-loop retrace (cache
+                # eviction, weak-type drift) can't silently time the fp
+                # program under an int8 label — free post-compilation
+                with quant.quantized(opt.quantize):
+                    out = fn(*args)
                 _ = float(jnp.mean(out))
                 ts.append(time.perf_counter() - t0)
             p50 = float(np.median(ts))

@@ -165,9 +165,19 @@ def main() -> None:
         det_first_stage=not opt.sample_first_stage,
         buckets=opt.buckets,
         max_wait_ms=opt.max_wait_ms,
+        # int8 results depend on the bucket shape (~1e-2 pixel-level:
+        # quantization-step flips on XLA's shape-dependent fp noise), so
+        # multi-bucket int8 serving opts out of seed-reproducibility;
+        # pass --buckets N alone to keep it
+        allow_batch_variant_sampling=bool(opt.quantize)
+        and len(set(opt.buckets)) > 1,
         # results leave as PNGs — convert on device, read back 4x less
         output_uint8=True,
     )
+    if opt.quantize and len(set(opt.buckets)) > 1:
+        print("note: --quantize int8 with multiple buckets: outputs vary "
+              "~1e-2 with batch occupancy (use a single bucket for "
+              "seed-reproducible serving)", file=sys.stderr)
     if opt.warmup:
         print(f"warming up buckets {server.buckets} ...", flush=True)
         server.warmup(opt.H, opt.W)

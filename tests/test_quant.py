@@ -157,3 +157,75 @@ def test_pipeline_int8_deterministic(eligible_pipeline_pair):
     a = q.edit_batch(image, mask, ref, steps=2, seed=9)
     b = q.edit_batch(image, mask, ref, steps=2, seed=9)
     np.testing.assert_array_equal(a, b)
+
+
+def test_int8_batch_invariance():
+    """A request's int8 output must not depend on co-batched neighbors
+    (per-row activation scales; int32 accumulation is exact so tiling
+    order can't perturb it either) — EditServer relies on this."""
+    g = np.random.default_rng(7)
+    a = jnp.asarray(g.standard_normal((1, 24, 24, 128)), jnp.float32)
+    # large-amplitude neighbor: would shift a shared per-tensor scale
+    b = jnp.asarray(g.standard_normal((1, 24, 24, 128)) * 50, jnp.float32)
+    k = jnp.asarray(g.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    solo = _conv(a, k, quant.conv_general_dilated_int8)
+    both = _conv(jnp.concatenate([a, b]), k, quant.conv_general_dilated_int8)
+    np.testing.assert_array_equal(np.asarray(solo), np.asarray(both[:1]))
+    x = jnp.asarray(g.standard_normal((1, 512, 256)), jnp.float32)
+    y = jnp.asarray(g.standard_normal((1, 512, 256)) * 50, jnp.float32)
+    w = jnp.asarray(g.standard_normal((256, 512)) * 0.05, jnp.float32)
+    ds = quant.dot_general_int8(x, w, _dn_dense(3))
+    db = quant.dot_general_int8(jnp.concatenate([x, y]), w, _dn_dense(3))
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(db[:1]))
+
+
+def test_conv_int8_non_nhwc_layout_falls_back_exactly():
+    g = np.random.default_rng(8)
+    x = jnp.asarray(g.standard_normal((2, 128, 24, 24)), jnp.float32)
+    k = jnp.asarray(g.standard_normal((128, 128, 3, 3)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    common = dict(window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                  dimension_numbers=dn)
+    ref = jax.lax.conv_general_dilated(x, k, **common)
+    out = quant.conv_general_dilated_int8(x, k, **common)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_context_is_thread_local():
+    import threading
+    seen = {}
+
+    def probe():
+        seen["other_thread"] = quant.is_active()
+
+    with quant.quantized("int8"):
+        t = threading.Thread(target=probe)
+        t.start()
+        t.join()
+        assert quant.is_active()
+    assert seen["other_thread"] is False
+
+
+def test_server_int8_guards_and_content_invariance(eligible_pipeline_pair):
+    """Multi-bucket + quantized pipeline must raise (int8 output is
+    bucket-shape-dependent); at a FIXED bucket, co-batched content must
+    not change a request's output bitwise (per-row activation scales)."""
+    from pbe_tpu.serving import EditServer
+
+    _, q, S = eligible_pipeline_pair
+    with pytest.raises(ValueError, match="quantized"):
+        EditServer(q, steps=2, buckets=(1, 2, 4))
+    g = np.random.default_rng(5)
+    img = g.uniform(-1, 1, (S, S, 3)).astype(np.float32)
+    msk = np.ones((S, S, 1), np.float32)
+    msk[16:48, 16:48] = 0.0
+    ref = g.standard_normal((32, 32, 3)).astype(np.float32)
+    hot = np.full_like(img, 0.999)  # would shift a shared per-tensor scale
+    with EditServer(q, steps=2, buckets=(4,), max_wait_ms=5.0) as srv:
+        solo = srv.edit(img, msk, ref, seed=7)  # padded with its own rows
+        futs = [srv.submit(img, msk, ref, seed=7),
+                srv.submit(hot, msk, ref, seed=8),
+                srv.submit(hot, msk, ref, seed=9)]
+        batched = futs[0].result(300)
+    np.testing.assert_array_equal(solo, batched)
