@@ -35,6 +35,7 @@ No reference counterpart: zhanwenchen/pbe serves fp16/fp32 only.
 """
 from __future__ import annotations
 
+import dataclasses
 import threading
 from contextlib import contextmanager
 
@@ -55,6 +56,19 @@ MIN_ROWS = 256         # dense M dim (rows hitting the MXU)
 _TLS = threading.local()
 
 
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Which ops quantize and at what scale granularity — the attribution
+    knobs for the end-to-end int8 benches (direct calls to the override
+    functions outside any context use the defaults)."""
+
+    mode: str = "int8"
+    convs: bool = True      # w8a8 the eligible 3x3 convs
+    dense: bool = True      # w8a8 the eligible Dense matmuls
+    per_row: bool = True    # per-row activation scales (batch-invariant);
+    #                         False = legacy per-tensor (probe's scheme)
+
+
 def _stack() -> list:
     s = getattr(_TLS, "stack", None)
     if s is None:
@@ -63,16 +77,17 @@ def _stack() -> list:
 
 
 @contextmanager
-def quantized(mode: str | None = "int8"):
+def quantized(mode: str | None = "int8", **knobs):
     """Trace-time switch: programs traced inside quantize eligible
-    matmuls/convs. No effect on already-compiled programs."""
+    matmuls/convs. No effect on already-compiled programs. ``knobs``
+    (convs/dense/per_row) select a :class:`QuantSpec` variant."""
     if mode is None:
         yield
         return
     if mode != "int8":
         raise ValueError(f"unknown quantization mode {mode!r}")
     s = _stack()
-    s.append(mode)
+    s.append(QuantSpec(mode=mode, **knobs))
     try:
         yield
     finally:
@@ -81,6 +96,11 @@ def quantized(mode: str | None = "int8"):
 
 def is_active() -> bool:
     return bool(_stack())
+
+
+def active_spec() -> QuantSpec | None:
+    s = _stack()
+    return s[-1] if s else None
 
 
 def _quantize_rows(x: jax.Array, reduce_axes: tuple[int, ...]):
@@ -112,6 +132,9 @@ def dot_general_int8(lhs, rhs, dimension_numbers, precision=None,
     plain = lambda: jax.lax.dot_general(
         lhs, rhs, dimension_numbers, precision=precision,
         preferred_element_type=preferred_element_type)
+    spec = active_spec() or QuantSpec()
+    if not spec.dense:
+        return plain()
     if (lb or rb or list(lc) != [lhs.ndim - 1] or list(rc) != [0]
             or rhs.ndim != 2):
         return plain()
@@ -127,7 +150,9 @@ def dot_general_int8(lhs, rhs, dimension_numbers, precision=None,
         return plain()
     # per-row activation scale (amax over the contraction axis only): each
     # output row's grid depends only on its own inputs -> batch-invariant
-    ql, sl = _quantize_rows(lhs, reduce_axes=(lhs.ndim - 1,))
+    ql, sl = _quantize_rows(
+        lhs, reduce_axes=(lhs.ndim - 1,) if spec.per_row
+        else tuple(range(lhs.ndim)))
     qr, sr = _quantize_per_channel(rhs, channel_axis=1)  # (1, n)
     acc = jax.lax.dot_general(ql, qr, dimension_numbers,
                               preferred_element_type=jnp.int32)
@@ -148,6 +173,9 @@ def conv_general_dilated_int8(lhs, rhs, window_strides, padding,
         feature_group_count=feature_group_count,
         batch_group_count=batch_group_count, precision=precision,
         preferred_element_type=preferred_element_type)
+    spec = active_spec() or QuantSpec()
+    if not spec.convs:
+        return plain()
     if feature_group_count != 1 or batch_group_count != 1:
         return plain()
     if lhs.ndim != 4 or rhs.ndim != 4:
@@ -169,7 +197,8 @@ def conv_general_dilated_int8(lhs, rhs, window_strides, padding,
             or rhs.shape[2] != cin):
         return plain()
     # per-example activation scale (amax over H,W,C) -> batch-invariant
-    ql, sl = _quantize_rows(lhs, reduce_axes=(1, 2, 3))
+    ql, sl = _quantize_rows(
+        lhs, reduce_axes=(1, 2, 3) if spec.per_row else (0, 1, 2, 3))
     qr, sr = _quantize_per_channel(rhs, channel_axis=3)  # (1,1,1,O)
     acc = jax.lax.conv_general_dilated(
         ql, qr, window_strides, padding, lhs_dilation=lhs_dilation,

@@ -64,7 +64,7 @@ class EditPipeline:
     # -- jitted body --------------------------------------------------------
     def _build(self, steps: int, sampler: str, eta: float, cfg: bool = True,
                paste: int = -1, det_first_stage: bool = False,
-               out_uint8: bool = False):
+               out: str = "float32"):
         # the ancestral sampler walks the full DDPM chain and has no use for
         # the DDIM subsequence tables
         sched = (
@@ -125,6 +125,11 @@ class EditPipeline:
                 )
             else:
                 raise ValueError(f"unknown sampler {sampler!r}")
+            if out == "latent":
+                # pre-decode diagnostic output: the sampled latent x0 —
+                # used by drift/accuracy benches (e.g. int8-vs-fp bounds)
+                # that need error in latent space, before the VAE decode
+                return x0.astype(jnp.float32)
             img = model.apply(
                 variables, x0, method=PaintByExample.decode_first_stage
             )
@@ -139,7 +144,7 @@ class EditPipeline:
                 img01 = paste_back(
                     img01, orig01, mask.astype(jnp.float32), feather=paste
                 )
-            if out_uint8:
+            if out == "uint8":
                 # device-side PNG-ready output: matches the host formula in
                 # data/transforms.to_uint8 (clip -> *255 -> round-half-even)
                 # and cuts the D2H readback 4x vs float32
@@ -151,8 +156,8 @@ class EditPipeline:
 
     def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
             paste: int = -1, det_first_stage: bool = False,
-            out_uint8: bool = False):
-        key = (steps, sampler, eta, cfg, paste, det_first_stage, out_uint8,
+            out: str = "float32"):
+        key = (steps, sampler, eta, cfg, paste, det_first_stage, out,
                self.quantize)
         if key not in self._fns:
             self._fns[key] = self._build(*key[:-1])
@@ -202,12 +207,12 @@ class EditPipeline:
             x_T = jax.random.normal(
                 r_xt, (b, h // f, w // f, 4), self.model.dtype
             )
-        if output not in ("float32", "uint8"):
-            raise ValueError(f"output must be 'float32' or 'uint8', "
-                             f"got {output!r}")
+        if output not in ("float32", "uint8", "latent"):
+            raise ValueError(f"output must be 'float32', 'uint8' or "
+                             f"'latent', got {output!r}")
         fn = self._fn(int(steps), sampler, float(eta), float(scale) != 1.0,
                       -1 if paste_back is None else int(paste_back),
-                      bool(det_first_stage), output == "uint8")
+                      bool(det_first_stage), output)
         args = [
             jnp.asarray(image, self.model.dtype),
             jnp.asarray(mask, self.model.dtype),

@@ -36,13 +36,22 @@ def init_variables(model: PaintByExample, seed: int = 0) -> dict:
 
 
 def overlay_checkpoint(
-    variables: dict, ckpt_path: str, verbose: bool = True
+    variables: dict, ckpt_path: str, verbose: bool = True,
+    drop_torch_prefixes: tuple[str, ...] = (),
 ) -> dict:
     """strict=False load: converted keys replace initialized ones; missing
-    keys keep their init values (ddpm.py:245-260 behavior)."""
+    keys keep their init values (ddpm.py:245-260 behavior).
+
+    drop_torch_prefixes: torch keys starting with any of these are
+    filtered out BEFORE conversion — ("model.",) reproduces the
+    reference's --train_from_scratch (main.py:244-248: the diffusion
+    UNet stays random-init, only frozen VAE/CLIP load)."""
     import flax.traverse_util as traverse
 
     sd = load_torch_checkpoint(ckpt_path)
+    if drop_torch_prefixes:
+        pre = tuple(drop_torch_prefixes)
+        sd = {k: v for k, v in sd.items() if not k.startswith(pre)}
     converted, dropped = convert_state_dict(sd)
     _maybe_expand_conv_in(converted, variables)
     missing, unexpected, mismatched = validate_against(

@@ -1,3 +1,4 @@
-from pbe_tpu.serving.server import EditServer
+from pbe_tpu.serving.server import (DeadlineExceeded, EditServer,
+                                    ServerOverloaded)
 
-__all__ = ["EditServer"]
+__all__ = ["EditServer", "ServerOverloaded", "DeadlineExceeded"]

@@ -48,6 +48,20 @@ from typing import Any, Sequence
 import numpy as np
 
 
+class ServerOverloaded(RuntimeError):
+    """submit() rejected immediately: the admission queue is full.
+
+    Reject-fast beats ballooning: a request admitted behind a
+    `queue_depth`-long backlog would wait queue_depth/throughput seconds
+    anyway — better to tell the client now so it can shed or retry
+    elsewhere."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """The request expired in the queue before reaching the device; it
+    was dropped without costing device time."""
+
+
 @dataclasses.dataclass
 class _Request:
     image: np.ndarray   # (H,W,3) in [-1,1]
@@ -56,6 +70,7 @@ class _Request:
     seed: int
     future: Future
     enqueued_at: float
+    deadline: float | None = None  # perf_counter time after which we drop
 
 
 class EditServer:
@@ -74,6 +89,7 @@ class EditServer:
         buckets: Sequence[int] = (1, 2, 4, 8),
         max_wait_ms: float = 20.0,
         queue_depth: int = 256,
+        deadline_s: float | None = None,
         allow_batch_variant_sampling: bool = False,
         output_uint8: bool = False,
     ) -> None:
@@ -109,13 +125,19 @@ class EditServer:
                 "amplifies XLA's batch-shape-dependent fp noise); use a "
                 "single bucket or pass allow_batch_variant_sampling=True")
         self.max_wait_ms = float(max_wait_ms)
+        # latency shaping (both optional): queue_depth bounds the backlog —
+        # submit() raises ServerOverloaded instead of blocking when it's
+        # full; deadline_s is the default per-request queueing budget —
+        # requests still queued past it are dropped with DeadlineExceeded
+        # before they cost device time (submit(deadline_s=...) overrides)
+        self.deadline_s = None if deadline_s is None else float(deadline_s)
         self.output_uint8 = bool(output_uint8)
         self._queue: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "padded_rows": 0,
             "batch_occupancy_sum": 0.0, "latency_sum_s": 0.0,
-            "errors": 0,
+            "errors": 0, "rejected": 0, "expired": 0,
         }
         self._closed = False
         self._lifecycle = threading.Lock()  # orders submit() vs close()
@@ -126,21 +148,37 @@ class EditServer:
     # -- public API ---------------------------------------------------------
 
     def submit(self, image: np.ndarray, mask: np.ndarray, ref: np.ndarray,
-               *, seed: int = 42) -> Future:
-        """Enqueue one edit; returns a Future resolving to (H,W,3) [0,1]."""
+               *, seed: int = 42, deadline_s: float | None = None) -> Future:
+        """Enqueue one edit; returns a Future resolving to (H,W,3) [0,1].
+
+        Raises :class:`ServerOverloaded` immediately when the admission
+        queue is full (reject-fast — never blocks the caller). deadline_s
+        overrides the server default queueing budget for this request; a
+        request still waiting past it resolves with
+        :class:`DeadlineExceeded` instead of occupying a device batch."""
         image, mask, ref = map(np.asarray, (image, mask, ref))
         if image.ndim != 3 or mask.ndim != 3 or ref.ndim != 3:
             raise ValueError("submit() takes single HWC examples")
+        now = time.perf_counter()
+        budget = self.deadline_s if deadline_s is None else float(deadline_s)
         fut: Future = Future()
         req = _Request(image, mask, ref,
                        int(seed) & 0xFFFFFFFFFFFFFFFF,  # fold into uint64
-                       fut, time.perf_counter())
+                       fut, now,
+                       deadline=None if budget is None else now + budget)
         with self._lifecycle:
             # checked under the lock so no request can land behind the
             # shutdown sentinel (whose put also holds the lock)
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put(req)
+            try:
+                self._queue.put_nowait(req)
+            except queue.Full:
+                with self._stats_lock:
+                    self._stats["rejected"] += 1
+                raise ServerOverloaded(
+                    f"admission queue full ({self._queue.maxsize} deep); "
+                    "shed load or raise queue_depth") from None
         return fut
 
     def edit(self, image, mask, ref, *, seed: int = 42,
@@ -295,6 +333,21 @@ class EditServer:
                 self._resolve(pending)
                 pending = None
                 continue
+            # drop requests whose queueing budget expired — DeadlineExceeded
+            # beats silently serving a result the client gave up on
+            now = time.perf_counter()
+            live = []
+            for r in batch:
+                if r.deadline is not None and now > r.deadline:
+                    if not r.future.done():
+                        r.future.set_exception(DeadlineExceeded(
+                            f"queued {now - r.enqueued_at:.2f}s, budget "
+                            f"{r.deadline - r.enqueued_at:.2f}s"))
+                    with self._stats_lock:
+                        self._stats["expired"] += 1
+                else:
+                    live.append(r)
+            batch = live
             # honor Future.cancel(): anything cancelled while queued is
             # dropped before it costs device time
             batch = [r for r in batch

@@ -188,6 +188,7 @@ class Trainer:
         sample_images: bool = False,
         fid_feature_fn=None,
         fid_batches: int = 2,
+        fid_every: int | None = None,
         sample_steps: int = 50,
         sample_sampler: str = "ddim",
     ) -> None:
@@ -239,10 +240,15 @@ class Trainer:
                             f"{k}={v:.4f}" for k, v in m.items()), flush=True)
                 if val_loader is not None and step % val_every == 0:
                     val_m = self.validate(val_loader)
-                    if sample_images or fid_feature_fn is not None:
+                    # fid_every thins the (expensive) FID trio to every N
+                    # steps while image grids keep the validation cadence;
+                    # None = FID at every validation (back-compat)
+                    want_fid = fid_feature_fn is not None and (
+                        fid_every is None or step % fid_every == 0)
+                    if sample_images or want_fid:
                         val_m.update(self.sample_and_score(
                             val_loader,
-                            fid_feature_fn=fid_feature_fn,
+                            fid_feature_fn=fid_feature_fn if want_fid else None,
                             fid_batches=fid_batches,
                             steps=sample_steps,
                             sampler=sample_sampler,

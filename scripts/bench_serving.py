@@ -43,6 +43,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_requests", type=int, default=64)
     p.add_argument("--concurrency", type=int, default=8,
                    help="client threads keeping requests in flight")
+    p.add_argument("--deadline_s", type=float, default=0.0,
+                   help="per-request queueing budget (0 = none): expired "
+                        "requests resolve DeadlineExceeded, never reach "
+                        "the device")
+    p.add_argument("--queue_depth", type=int, default=256,
+                   help="admission queue bound; full => ServerOverloaded")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every bucket before timing")
     p.add_argument("--data_parallel", action="store_true")
@@ -76,6 +82,8 @@ def main() -> None:
         # (int8 results are bucket-shape-dependent — see EditServer)
         allow_batch_variant_sampling=bool(opt.quantize)
         and len(set(opt.buckets)) > 1,
+        deadline_s=opt.deadline_s or None,
+        queue_depth=opt.queue_depth,
         output_uint8=opt.uint8_out)
 
     g = np.random.default_rng(0)
@@ -135,6 +143,9 @@ def main() -> None:
         "padded_rows": stats["padded_rows"],
         "uint8_out": bool(opt.uint8_out),
         "quantize": opt.quantize,
+        "rejected": stats["rejected"],
+        "expired": stats["expired"],
+        "deadline_s": opt.deadline_s or None,
     }
     if latencies:
         record["p50_latency_s"] = round(float(np.percentile(latencies, 50)), 3)

@@ -58,6 +58,17 @@ def get_parser() -> argparse.ArgumentParser:
                    help="shard each batch over every chip of the slice")
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket before serving")
+    p.add_argument("--prewarm_only", action="store_true",
+                   help="compile every bucket into the persistent XLA "
+                        "cache, then exit — run once offline so later "
+                        "server starts (same config) load in seconds")
+    p.add_argument("--deadline_s", type=float, default=0.0,
+                   help="per-request queueing budget (0 = none): requests "
+                        "still queued past it get 503 instead of a stale "
+                        "result")
+    p.add_argument("--queue_depth", type=int, default=256,
+                   help="admission bound: submits beyond this backlog get "
+                        "429 immediately (reject-fast over ballooning)")
     p.add_argument("--sample_first_stage", action="store_true",
                    help="reference-parity posterior *sampling* for the "
                         "masked-source latent (batch-mates then perturb the "
@@ -72,6 +83,7 @@ def make_handler(server, size, max_body_mb: int = 64):
     from http.server import BaseHTTPRequestHandler
 
     from pbe_tpu.data import transforms as T
+    from pbe_tpu.serving import DeadlineExceeded, ServerOverloaded
 
     ref_size = server.pipeline.ref_size  # exemplar side of the deployed model
     max_body = max_body_mb * 1024 * 1024
@@ -131,6 +143,10 @@ def make_handler(server, size, max_body_mb: int = 64):
                     "latency_ms": round(ms, 1),
                     "seed": seed,
                 })
+            except ServerOverloaded as e:
+                self._send(429, {"error": str(e)})
+            except DeadlineExceeded as e:
+                self._send(503, {"error": f"deadline exceeded: {e}"})
             except Exception as e:
                 self._send(500, {"error": str(e)})
 
@@ -171,6 +187,8 @@ def main() -> None:
         # pass --buckets N alone to keep it
         allow_batch_variant_sampling=bool(opt.quantize)
         and len(set(opt.buckets)) > 1,
+        deadline_s=opt.deadline_s or None,
+        queue_depth=opt.queue_depth,
         # results leave as PNGs — convert on device, read back 4x less
         output_uint8=True,
     )
@@ -178,9 +196,18 @@ def main() -> None:
         print("note: --quantize int8 with multiple buckets: outputs vary "
               "~1e-2 with batch occupancy (use a single bucket for "
               "seed-reproducible serving)", file=sys.stderr)
-    if opt.warmup:
+    if opt.warmup or opt.prewarm_only:
         print(f"warming up buckets {server.buckets} ...", flush=True)
+        t0 = time.perf_counter()
         server.warmup(opt.H, opt.W)
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+    if opt.prewarm_only:
+        # every bucket's program is now in the persistent XLA cache
+        # (utils/cache.py) — a later serve.py with the same config skips
+        # straight to load-from-cache
+        server.close()
+        print("prewarm complete; exiting", flush=True)
+        return
 
     from http.server import ThreadingHTTPServer
 

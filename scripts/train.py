@@ -32,6 +32,24 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=str, default="",
                    help="torch .ckpt to initialize from (SD-v1-4 9ch surgery "
                         "output or a trained PBE checkpoint)")
+    p.add_argument("--train_from_scratch", action="store_true",
+                   help="drop the diffusion-model ('model.*') keys from "
+                        "--ckpt so the UNet trains from random init; only "
+                        "the frozen VAE/CLIP load (main.py:244-248)")
+    p.add_argument("--sample_images", action="store_true",
+                   help="sample 6-panel image grids at every validation "
+                        "(latent_diffusion.py:1020-1123 via main.py:287-295)")
+    p.add_argument("--fid_every", type=int, default=0,
+                   help="stream val/fid_{global,local,ref} every N steps "
+                        "(rides the validation cadence; 0 = off; "
+                        "callback_fid.py:146-189)")
+    p.add_argument("--fid_batches", type=int, default=2)
+    p.add_argument("--sample_steps", type=int, default=50,
+                   help="sampler steps for validation-time image grids")
+    p.add_argument("--inception_ckpt", type=str, default="",
+                   help="torchvision InceptionV3 weights for the FID "
+                        "feature fn (random features if empty — fine for "
+                        "trend-tracking, not comparable to paper FID)")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--bf16_moments", action="store_true",
                    help="keep Adam first moments in bf16 (fits single-chip "
@@ -78,7 +96,11 @@ def main() -> None:
 
     variables = init_variables(model, seed=opt.seed)
     if opt.ckpt:
-        variables = overlay_checkpoint(variables, opt.ckpt)
+        variables = overlay_checkpoint(
+            variables, opt.ckpt,
+            drop_torch_prefixes=("model.",) if opt.train_from_scratch else ())
+        if opt.train_from_scratch:
+            print("Train from scratch!")  # main.py:248's banner
 
     data = config_lib.instantiate_from_config(raw["data"])
     train_loader = data.train_dataloader()
@@ -115,10 +137,20 @@ def main() -> None:
     if opt.resume and trainer.restore():
         print(f"resumed from step {int(trainer.state.step)}")
 
+    fid_feature_fn = None
+    if opt.fid_every:
+        from pbe_tpu.evaltools.fid import make_inception_feature_fn
+        fid_feature_fn = make_inception_feature_fn(opt.inception_ckpt or None)
+
     trainer.fit(
         train_loader, val_loader,
         max_steps=opt.max_steps, max_epochs=opt.max_epochs,
         log_every=opt.log_every, val_every=opt.val_every,
+        sample_images=opt.sample_images,
+        fid_feature_fn=fid_feature_fn,
+        fid_batches=opt.fid_batches,
+        fid_every=opt.fid_every or None,
+        sample_steps=opt.sample_steps,
     )
 
 

@@ -267,3 +267,80 @@ def test_pipelined_dispatch_error_isolation(pipeline):
         assert good2.result(180).shape == (S, S, 3)
         st = srv.stats()
     assert st["errors"] == 1 and st["requests"] == 2
+
+
+# -- latency shaping (deadline + admission control) -------------------------
+
+class _SlowStubPipeline:
+    """Pipeline stand-in with a controllable device time — lets the
+    shaping tests exercise queue dynamics deterministically without
+    model latency noise."""
+
+    quantize = None
+
+    def __init__(self, delay_s: float):
+        import types
+        self.delay_s = delay_s
+        self.model = types.SimpleNamespace(latent_downsample=8)
+        self.ref_size = 32
+
+    def edit_batch(self, image, mask, ref, **kw):
+        time.sleep(self.delay_s)
+        return (np.asarray(image, np.float32) * 0.0 + 0.5)
+
+
+def test_deadline_expired_requests_are_dropped():
+    from pbe_tpu.serving import DeadlineExceeded
+
+    srv = EditServer(_SlowStubPipeline(0.5), steps=2, buckets=(1,),
+                     max_wait_ms=1, deadline_s=0.05)
+    image, mask, ref = _example(0)
+    futs = [srv.submit(image, mask, ref, seed=i) for i in range(4)]
+    out0 = futs[0].result(30)  # dequeued immediately: inside its budget
+    assert out0.shape == image.shape
+    expired = 0
+    for f in futs[1:]:
+        try:
+            f.result(30)
+        except DeadlineExceeded:
+            expired += 1
+    assert expired >= 2  # they sat behind a 0.5s batch with a 50ms budget
+    st = srv.stats()
+    srv.close()
+    assert st["expired"] == expired
+
+
+def test_per_request_deadline_overrides_server_default():
+    from pbe_tpu.serving import DeadlineExceeded
+
+    srv = EditServer(_SlowStubPipeline(0.3), steps=2, buckets=(1,),
+                     max_wait_ms=1)  # no server-wide deadline
+    image, mask, ref = _example(1)
+    f0 = srv.submit(image, mask, ref, seed=0)
+    f1 = srv.submit(image, mask, ref, seed=1, deadline_s=0.01)
+    f2 = srv.submit(image, mask, ref, seed=2)  # unlimited budget
+    assert f0.result(30).shape == image.shape
+    with pytest.raises(DeadlineExceeded):
+        f1.result(30)
+    assert f2.result(30).shape == image.shape
+    srv.close()
+
+
+def test_admission_queue_full_rejects_fast():
+    from pbe_tpu.serving import ServerOverloaded
+
+    srv = EditServer(_SlowStubPipeline(0.5), steps=2, buckets=(1,),
+                     max_wait_ms=1, queue_depth=1)
+    image, mask, ref = _example(2)
+    f0 = srv.submit(image, mask, ref, seed=0)
+    time.sleep(0.1)  # let the worker move f0 onto the "device"
+    f1 = srv.submit(image, mask, ref, seed=1)  # fills the 1-deep queue
+    t0 = time.perf_counter()
+    with pytest.raises(ServerOverloaded):
+        srv.submit(image, mask, ref, seed=2)
+    assert time.perf_counter() - t0 < 0.1  # rejected, not blocked
+    assert f0.result(30).shape == image.shape
+    assert f1.result(30).shape == image.shape
+    st = srv.stats()
+    srv.close()
+    assert st["rejected"] == 1
