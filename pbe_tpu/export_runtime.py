@@ -16,12 +16,21 @@ def load_edit_program(blob: bytes) -> Callable:
     """bytes -> callable(variables, image, mask, ref, x_T, scale, rng).
 
     jit-wrapped so XLA compiles it once per process (and the persistent
-    compilation cache makes that warm across processes).
-    """
+    compilation cache makes that warm across processes). The returned
+    callable exposes ``in_avals`` (the flat input ShapeDtypeStructs —
+    variables leaves first, then image/mask/ref/x_T/scale/rng) so a
+    deployment host can cast inputs to the frozen dtypes (e.g. bfloat16)
+    without any model code or manifest."""
     from jax import export as jexport
 
     exported = jexport.deserialize(bytearray(blob))
-    return jax.jit(exported.call)
+    jfn = jax.jit(exported.call)
+
+    def fn(*args):
+        return jfn(*args)
+
+    fn.in_avals = exported.in_avals
+    return fn
 
 
 def save_edit_program(path: str, blob: bytes) -> None:

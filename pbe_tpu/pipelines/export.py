@@ -38,6 +38,13 @@ def export_edit_program(
     The exported callable's signature is
     ``(variables, image, mask, ref, x_T, scale, rng) -> img01`` — identical
     to the jitted body EditPipeline dispatches (inference.py `_build`).
+
+    Compositions: a ``quantize="int8"`` pipeline exports the QUANTIZED
+    program (the trace runs inside the quantized() context, exactly as
+    edit_batch would); a ``pipeline.shard(mesh)`` pipeline exports a
+    PARTITIONED program (avals carry the batch/replicated shardings, so
+    the artifact runs on any mesh of the same size and the loaded call
+    keeps the multi-chip layout).
     """
     from jax import export as jexport
 
@@ -48,17 +55,37 @@ def export_edit_program(
     dt = model.dtype
     f = model.latent_downsample
     ref_size = pipeline.ref_size
+
+    bs = getattr(pipeline, "_batch_sharding", None)
+    rep = getattr(pipeline, "_replicated", None)
+
+    def _aval(shape, dtype, sharding):
+        if sharding is None:
+            return jax.ShapeDtypeStruct(shape, dtype)
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+    if bs is not None and batch % bs.mesh.size != 0:
+        raise ValueError(
+            f"sharded export needs batch ({batch}) divisible by the mesh "
+            f"size ({bs.mesh.size}) — padding is a dispatch-time concern, "
+            "a frozen program has one shape")
     avals = (
-        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.tree.map(lambda x: _aval(x.shape, x.dtype, rep),
                      pipeline.variables),
-        jax.ShapeDtypeStruct((batch, height, width, 3), dt),
-        jax.ShapeDtypeStruct((batch, height, width, 1), dt),
-        jax.ShapeDtypeStruct((batch, ref_size, ref_size, 3), dt),
-        jax.ShapeDtypeStruct((batch, height // f, width // f, 4), dt),
-        jax.ShapeDtypeStruct((), jnp.float32),
-        jax.ShapeDtypeStruct((2,), jnp.uint32),  # PRNGKey(0)'s layout
+        _aval((batch, height, width, 3), dt, bs),
+        _aval((batch, height, width, 1), dt, bs),
+        _aval((batch, ref_size, ref_size, 3), dt, bs),
+        _aval((batch, height // f, width // f, 4), dt, bs),
+        _aval((), jnp.float32, rep),
+        _aval((2,), jnp.uint32, rep),  # PRNGKey(0)'s layout
     )
-    return bytes(jexport.export(fn)(*avals).serialize())
+    from pbe_tpu.ops import quant
+
+    with quant.quantized(getattr(pipeline, "quantize", None)):
+        # trace-time: an int8 pipeline freezes its w8a8 program, not the
+        # fp one (same context edit_batch uses)
+        exported = jexport.export(fn)(*avals)
+    return bytes(exported.serialize())
 
 
 # Runtime-side loading lives in pbe_tpu.export_runtime (a light top-level

@@ -43,6 +43,12 @@ def main() -> None:
                    default="autocast")
     p.add_argument("--skip_params", action="store_true",
                    help="write only the program (params ship separately)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="freeze the w8a8 program (ops/quant.py)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="freeze a partitioned program: batch sharded over "
+                        "every chip of the slice (requires the same device "
+                        "count at load time)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -55,7 +61,10 @@ def main() -> None:
     config = opt.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
-    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype)
+    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
+                                quantize=opt.quantize)
+    if opt.data_parallel:
+        pipeline = pipeline.shard()
 
     os.makedirs(opt.outdir, exist_ok=True)
     blob = export_edit_program(

@@ -103,3 +103,65 @@ def test_params_npz_round_trip(pipeline, tmp_path):
     assert (jax.tree.structure(back)
             == jax.tree.structure(jax.tree.map(np.asarray,
                                                pipeline.variables)))
+
+
+# -- compositions: export x int8 and export x shard --------------------------
+
+from tests.test_quant import eligible_pipeline_pair  # noqa: F401,E402
+
+
+def test_export_quantized_program_bakes_in_int8(eligible_pipeline_pair):
+    """A quantize='int8' pipeline must freeze the QUANTIZED program (the
+    export trace runs inside the quantized() context): reloaded output is
+    bitwise-equal to the live int8 pipeline and differs from fp."""
+    fp, q, S = eligible_pipeline_pair
+    g = np.random.default_rng(3)
+    image = g.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)
+    mask = np.ones((1, S, S, 1), np.float32)
+    mask[:, 16:48, 16:48] = 0.0
+    ref = g.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    x_T = g.standard_normal((1, 16, 16, 4)).astype(np.float32)
+
+    blob = export_edit_program(q, batch=1, height=S, width=S, steps=2,
+                               det_first_stage=True)
+    fn = load_edit_program(blob)
+    got = np.asarray(fn(q.variables, image, mask, ref, x_T,
+                        np.float32(5.0), jax.random.PRNGKey(9)))
+    want_q = q.edit_batch(image, mask, ref, steps=2, scale=5.0, seed=9,
+                          x_T=x_T, det_first_stage=True)
+    want_fp = fp.edit_batch(image, mask, ref, steps=2, scale=5.0, seed=9,
+                            x_T=x_T, det_first_stage=True)
+    np.testing.assert_array_equal(got, want_q)
+    assert not np.array_equal(got, want_fp), \
+        "exported program is the fp one — quantized context not applied"
+
+
+def test_export_sharded_program_runs_on_the_mesh(pipeline):
+    """pipeline.shard(mesh) exports a partitioned program: avals carry the
+    batch/replicated shardings, the artifact runs on the 8-device CPU mesh
+    and matches the live sharded pipeline bitwise."""
+    from pbe_tpu.parallel import make_mesh
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    sharded = EditPipeline(pipeline.model, pipeline.variables)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    sharded.shard(mesh)
+
+    b = 8
+    image, mask, ref, x_T = _inputs(b)
+    blob = export_edit_program(sharded, batch=b, height=32, width=32,
+                               steps=2, det_first_stage=True)
+    want = sharded.edit_batch(image, mask, ref, steps=2, scale=5.0, seed=9,
+                              x_T=x_T, det_first_stage=True)
+    fn = load_edit_program(blob)
+    args = [jax.device_put(a.astype(pipeline.model.dtype),
+                           sharded._batch_sharding)
+            for a in (image, mask, ref, x_T)]
+    got = np.asarray(fn(sharded.variables, *args,
+                        np.float32(5.0), jax.random.PRNGKey(9)))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    # mesh-size mismatch must fail loudly, not silently replicate
+    with pytest.raises(ValueError, match="divisible"):
+        export_edit_program(sharded, batch=3, height=32, width=32, steps=2)
