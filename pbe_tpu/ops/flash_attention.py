@@ -22,11 +22,15 @@ removes an N^2-sized f32 multiply pass). The logsumexp handed to the
 backward is therefore in the log2 domain, L2 = m2 + log2(l), and the
 backward recomputes P = exp2(S2 - L2).
 
-Three forward variants, picked by VMEM footprint (auto):
+Four forward variants, picked by VMEM footprint (auto):
   * rowblock — K/V resident AND a full (block_q, N) score row-block
     materialized in one MXU call: one max, one exp2, one sum; zero online
     rescale passes. Fastest when 2*N*Dp*2 + 2*block_q*N*4 fits VMEM
     (all UNet self-attention shapes at 512^2).
+  * pipelined — rowblock footprint, but the N axis is chunked into a
+    two-pass schedule whose MXU and VPU stages of adjacent chunks are
+    independent, so Mosaic can overlap score matmuls with softmax passes
+    (see _flash_kernel_pipelined).
   * resident — K/V resident, online softmax over k blocks (VAE mid at
     batch>2 and other mid-size shapes).
   * streamed — grid-blocked k axis, VMEM independent of N (16384-token
@@ -97,6 +101,77 @@ def _flash_kernel_rowblock(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if maybe_lse:  # log2-domain logsumexp, lane-broadcast
+        maybe_lse[0][0] = jnp.broadcast_to(
+            m + jnp.log2(l), (q.shape[0], 128)
+        )
+
+
+def _flash_kernel_pipelined(q_ref, k_ref, v_ref, o_ref, *maybe_lse,
+                            scale: float, block_c: int):
+    """Two-pass chunked rowblock tuned for MXU/VPU overlap.
+
+    The plain rowblock kernel computes the (Bq, N) scores in ONE matmul,
+    then runs max/exp2/sum as whole-tensor VPU passes, then one PV matmul
+    — every stage depends wholly on the previous one, so the MXU idles
+    during softmax and the VPU idles during the matmuls (measured: 1508 us
+    at ds=1 vs a 698 us MXU + ~300 us VPU composite, PERF.md §3).
+
+    Chunking the N axis breaks that dependency at chunk granularity so
+    Mosaic's scheduler can overlap the units across chunks:
+      pass 1: S_j = Q K_j^T (MXU) is independent of rowmax(S_{j-1}) (VPU)
+      pass 2: exp2(S_j - m) + rowsum + bf16 cast (VPU) is independent of
+              the PV matmul of chunk j-1 (MXU)
+    Because the row max is final before pass 2 starts, there are NO
+    online-softmax rescales of the accumulator (same single-max math as
+    rowblock, just chunk-reassociated sums — bitwise it differs from both
+    rowblock and the XLA path exactly as any reassociation does).
+    Python-unrolled: nc = N // block_c is small (4-8) and static.
+    """
+    q = _prescale(q_ref[0], scale)  # (Bq, Dp)
+    nc = k_ref.shape[1] // block_c
+
+    # pass 1: materialize score chunks; stagger each chunk's row max so it
+    # can run on the VPU while the next chunk's matmul occupies the MXU
+    s = []
+    m = None
+    for j in range(nc):
+        kb = k_ref[0, pl.ds(j * block_c, block_c), :]
+        s.append(jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        if j > 0:
+            mj = jnp.max(s[j - 1], axis=-1, keepdims=True)
+            m = mj if m is None else jnp.maximum(m, mj)
+    mj = jnp.max(s[-1], axis=-1, keepdims=True)
+    m = mj if m is None else jnp.maximum(m, mj)
+
+    # pass 2: exp2/sum/cast chunk j overlaps PV matmul of chunk j-1
+    l = None
+    acc = None
+    prev = None
+    for j in range(nc):
+        p = jnp.exp2(s[j] - m)
+        lj = jnp.sum(p, axis=-1, keepdims=True)
+        l = lj if l is None else l + lj
+        p16 = p.astype(v_ref.dtype)
+        if prev is not None:
+            jp, pp = prev
+            vb = v_ref[0, pl.ds(jp * block_c, block_c), :]
+            a = jax.lax.dot_general(
+                pp, vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = a if acc is None else acc + a
+        prev = (j, p16)
+    jp, pp = prev
+    vb = v_ref[0, pl.ds(jp * block_c, block_c), :]
+    a = jax.lax.dot_general(
+        pp, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    acc = a if acc is None else acc + a
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if maybe_lse:  # log2-domain logsumexp, lane-broadcast
         maybe_lse[0][0] = jnp.broadcast_to(
@@ -205,7 +280,8 @@ def _rowblock_bq(n: int, kv_bytes: int, block_q: int) -> int | None:
 
 
 def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
-                    return_stats: bool = False, variant: str = "auto"):
+                    return_stats: bool = False, variant: str = "auto",
+                    block_c: int = 512):
     """(BH, N, D) -> (BH, N, D), or (out, lse (BH, N, 128) f32) with stats
     (lse is in the LOG2 domain: m2 + log2(l)).
 
@@ -241,6 +317,7 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
     # rowblock only pays when K/V are small (UNet dp=128 shapes): at the
     # VAE's dp=512 the resident 8.4MB K/V starves the score-block pipeline
     # and the tuned streamed path wins (949 vs 1120 us measured, r3 sweep)
+    use_pipelined = variant == "pipelined" and bq_rb is not None
     use_rowblock = variant == "rowblock" or (
         variant == "auto" and bq_rb and kv_bytes <= 4 * 1024 * 1024
     )
@@ -256,14 +333,20 @@ def _flash_fwd_bhnd(q, k, v, block_q: int = 256, block_k: int = 512,
             block_q = max(block_q, 1024 if n >= 8192 else 512)
             block_k = max(block_k, 1024)
 
-    if use_rowblock or use_resident:
-        bq = (bq_rb or block_q) if use_rowblock else block_q
-        kernel = (
-            functools.partial(_flash_kernel_rowblock, scale=scale)
-            if use_rowblock
-            else functools.partial(_flash_kernel_resident, scale=scale,
-                                   block_k=block_k)
-        )
+    if use_rowblock or use_resident or use_pipelined:
+        if use_pipelined:
+            bq = bq_rb or block_q
+            kernel = functools.partial(
+                _flash_kernel_pipelined, scale=scale,
+                block_c=min(block_c, n) if n % min(block_c, n) == 0 else n,
+            )
+        elif use_rowblock:
+            bq = bq_rb or block_q
+            kernel = functools.partial(_flash_kernel_rowblock, scale=scale)
+        else:
+            bq = block_q
+            kernel = functools.partial(_flash_kernel_resident, scale=scale,
+                                       block_k=block_k)
         qspec = pl.BlockSpec((1, bq, dp), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
         out = pl.pallas_call(

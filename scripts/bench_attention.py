@@ -30,7 +30,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--peak-tflops", type=float, default=197.0)  # v5e bf16
+    p.add_argument("--impls", default="",
+                   help="comma list to restrict impls (e.g. pipelined,rowblock)")
+    p.add_argument("--shapes", default="",
+                   help="comma list to restrict shapes (e.g. unet_ds1)")
     opt = p.parse_args()
+    impl_filter = set(filter(None, opt.impls.split(",")))
+    shape_filter = set(filter(None, opt.shapes.split(",")))
 
     import jax
     import jax.numpy as jnp
@@ -73,6 +79,8 @@ def main() -> None:
         return float(np.median(ts)) / ITERS
 
     for name, bh, n, d in shapes:
+        if shape_filter and name not in shape_filter:
+            continue
         k = jax.random.PRNGKey(0)
         q = jax.random.normal(k, (bh, n, d), jnp.bfloat16)
         kk = jax.random.normal(k, (bh, n, d), jnp.bfloat16)
@@ -84,9 +92,24 @@ def main() -> None:
         padded_us = flops_padded / (opt.peak_tflops * 1e12) * 1e6
 
         rows = []
-        t = timeit(jax.jit(fa._attention_xla), q, kk, v)
-        rows.append(("xla", None, t))
+        if not impl_filter or "xla" in impl_filter:
+            t = timeit(jax.jit(fa._attention_xla), q, kk, v)
+            rows.append(("xla", None, t))
+        for bc in (256, 512, 1024, 2048):
+            if impl_filter and "pipelined" not in impl_filter:
+                continue
+            if bc > n or n % bc:
+                continue
+            f = jax.jit(functools.partial(
+                fa._flash_fwd_bhnd, variant="pipelined", block_c=bc))
+            try:
+                t = timeit(f, q, kk, v)
+                rows.append(("pipelined", (None, bc), t))
+            except Exception:
+                rows.append(("pipelined", (None, bc), float("nan")))
         for variant in ("rowblock", "resident", "streamed"):
+            if impl_filter and variant not in impl_filter:
+                continue
             for bq, bk in block_configs:
                 if n % min(bq, n) or n % min(bk, n):
                     continue

@@ -80,11 +80,12 @@ def test_fused_flash_backward_matches_xla(np_rng, shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(w), atol=5e-4)
 
 
-@pytest.mark.parametrize("variant", ["rowblock", "resident", "streamed"])
+@pytest.mark.parametrize("variant", ["rowblock", "resident", "streamed",
+                                     "pipelined"])
 def test_fwd_variants_match_xla_and_agree_on_lse(np_rng, variant):
-    """All three forward formulations (single-pass rowblock, online
-    resident, grid-streamed) must produce the same outputs and the same
-    log2-domain logsumexp."""
+    """All four forward formulations (single-pass rowblock, online
+    resident, grid-streamed, chunked two-pass pipelined) must produce the
+    same outputs and the same log2-domain logsumexp."""
     from pbe_tpu.ops import flash_attention as fa
 
     bh, n, d = 2, 256, 40
@@ -105,6 +106,28 @@ def test_fwd_variants_match_xla_and_agree_on_lse(np_rng, variant):
     np.testing.assert_allclose(
         np.asarray(lse[..., 0]), want_lse, atol=1e-4
     )
+
+
+def test_pipelined_multichunk_matches_xla(np_rng):
+    """The chunked two-pass schedule with several N chunks (the production
+    configuration: nc = N/block_c in 4..8) must agree with XLA."""
+    from pbe_tpu.ops import flash_attention as fa
+
+    bh, n, d = 2, 256, 40
+    q = jnp.asarray(np_rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(np_rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(np_rng.standard_normal((bh, n, d)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = fa._flash_fwd_bhnd(
+            q, k, v, block_q=128, block_k=128, return_stats=True,
+            variant="pipelined", block_c=64,  # 4 chunks
+        )
+    want = fa._attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    s2 = np.einsum("bqd,bkd->bqk", q, k) * (d ** -0.5) * np.log2(np.e)
+    m = s2.max(-1, keepdims=True)
+    want_lse = (m + np.log2(np.exp2(s2 - m).sum(-1, keepdims=True)))[..., 0]
+    np.testing.assert_allclose(np.asarray(lse[..., 0]), want_lse, atol=1e-4)
 
 
 def test_flash_bf16(np_rng):
