@@ -51,9 +51,14 @@ class TilingSpec:
 
 def delta_border(h: int, w: int) -> np.ndarray:
     """Normalized distance to the nearest border: 0 at the edge, 0.5 at the
-    center (latent_diffusion.py:286-298)."""
-    y = np.broadcast_to(np.arange(h, dtype=np.float64)[:, None] / (h - 1), (h, w))
-    x = np.broadcast_to(np.arange(w, dtype=np.float64)[None, :] / (w - 1), (h, w))
+    center (latent_diffusion.py:286-298). Degenerate 1-wide axes (a
+    single-crop grid's tie-breaker map) use a guarded denominator instead
+    of the reference's 0/0 NaN — the constant cancels in the fold's
+    num/den anyway."""
+    y = np.broadcast_to(
+        np.arange(h, dtype=np.float64)[:, None] / max(h - 1, 1), (h, w))
+    x = np.broadcast_to(
+        np.arange(w, dtype=np.float64)[None, :] / max(w - 1, 1), (h, w))
     dist = np.minimum.reduce([y, x, 1.0 - y, 1.0 - x])
     return dist.astype(np.float32)
 

@@ -31,12 +31,20 @@ class EditPipeline:
     """Holds (model, variables) and a cache of compiled edit functions."""
 
     def __init__(self, model: PaintByExample, variables: dict,
-                 quantize: str | None = None):
+                 quantize: str | None = None, tiling=None):
         self.model = model
         self.variables = variables
         # "int8": trace edit programs with w8a8 matmuls/convs in the UNet
         # (ops/quant.py) — opt-in serving mode, ~2x on the eligible convs
         self.quantize = quantize
+        # tiling: optional ops.tiling.TilingSpec (LATENT-space ks/stride) —
+        # the reference's split_input_params path (latent_diffusion.py:
+        # 656-736): every UNet eps call runs over overlapping latent crops
+        # folded into the batch, stitched with border weighting. Changes
+        # the math (per-crop attention; seams) — PERF.md §6 quantifies
+        # when the FLOP saving is worth it at 1024². Off by default, like
+        # the reference config (split_input_params is never set in v1).
+        self.tiling = tiling
         self._fns: dict[tuple, Any] = {}
         self._batch_sharding = None
 
@@ -87,10 +95,30 @@ class EditPipeline:
             ).astype(z_inpaint.dtype)
             c = model.apply(variables, ref, method=PaintByExample.get_conditioning)
 
-            def apply_fn(x9, t, ctx):
-                return model.apply(
-                    variables, x9, t, ctx, method=PaintByExample.apply_model
-                )
+            tiling = self.tiling
+
+            if tiling is None:
+                def apply_fn(x9, t, ctx):
+                    return model.apply(
+                        variables, x9, t, ctx,
+                        method=PaintByExample.apply_model,
+                    )
+            else:
+                from pbe_tpu.ops.tiling import tiled_apply
+
+                def apply_fn(x9, t, ctx):
+                    # unfold stacks crops on a new leading axis then folds
+                    # them into the batch (crop-major), so t/ctx repeat
+                    # whole-batch blocks L times (jnp.tile, not repeat)
+                    def inner(patches):
+                        reps = patches.shape[0] // x9.shape[0]
+                        return model.apply(
+                            variables, patches, jnp.tile(t, (reps,)),
+                            jnp.tile(ctx, (reps, 1, 1)),
+                            method=PaintByExample.apply_model,
+                        )
+
+                    return tiled_apply(inner, x9, tiling)
 
             if cfg:
                 uc = model.apply(
@@ -158,9 +186,9 @@ class EditPipeline:
             paste: int = -1, det_first_stage: bool = False,
             out: str = "float32"):
         key = (steps, sampler, eta, cfg, paste, det_first_stage, out,
-               self.quantize)
+               self.quantize, self.tiling)
         if key not in self._fns:
-            self._fns[key] = self._build(*key[:-1])
+            self._fns[key] = self._build(*key[:7])
         return self._fns[key]
 
     # -- public API ---------------------------------------------------------

@@ -90,6 +90,10 @@ def get_parser() -> argparse.ArgumentParser:
                         "weights (torch .bin/.ckpt or .safetensors); when "
                         "set, every result is screened (reference "
                         "scripts/inference.py:28-30,97-100)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="w8a8 int8 UNet execution (ops/quant.py) — opt-in; "
+                        "output differs from fp by the PTQ rounding error "
+                        "(bench_quant_drift.py bounds it)")
     p.add_argument("--enforce_safety", action="store_true",
                    help="black out flagged frames; default is report-only, "
                         "matching the reference (it discards the checker's "
@@ -115,7 +119,8 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml",
     )
-    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype)
+    pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
+                                quantize=opt.quantize)
 
     safety = None
     if opt.safety_ckpt:

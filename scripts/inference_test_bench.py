@@ -41,6 +41,11 @@ def main() -> None:
     p.add_argument("--det_first_stage", action="store_true",
                    help="posterior-MODE masked-source latents "
                         "(batch-size-invariant; reference samples)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="w8a8 int8 UNet execution — opt-in quality/speed "
+                        "A/B knob; the ragged final batch compiles its own "
+                        "bucket, whose int8 rounding may differ ~1e-2 from "
+                        "the full-batch program (tests/test_quant.py)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -55,7 +60,8 @@ def main() -> None:
     from pbe_tpu.utils.async_writer import AsyncWriter
 
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
-    pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype)
+    pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype,
+                                quantize=opt.quantize)
     if opt.data_parallel:
         pipeline.shard()
 

@@ -77,6 +77,13 @@ def main() -> None:
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=9)
     p.add_argument("--quantize", choices=["int8"], default=None)
+    p.add_argument("--det_first_stage", type=int, default=1,
+                   help="0 samples the VAE posterior from the seed instead "
+                        "of taking its mode — same program variant as "
+                        "bench_sweep, so the LIVE side is a compile-cache "
+                        "hit on a host that ran the sweep (both settings "
+                        "are fixed-seed deterministic; bitwise comparison "
+                        "is unaffected)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -104,9 +111,10 @@ def main() -> None:
              image=image, mask=mask, ref=ref, x_T=x_T,
              scale=opt.scale, seed=opt.seed)
 
+    det = bool(opt.det_first_stage)
     t0 = time.perf_counter()
     blob = export_edit_program(pipeline, batch=b, height=H, width=W,
-                               steps=opt.steps, det_first_stage=True)
+                               steps=opt.steps, det_first_stage=det)
     export_s = time.perf_counter() - t0
     save_edit_program(os.path.join(opt.outdir, "edit.stablehlo"), blob)
     save_params_npz(os.path.join(opt.outdir, "params.npz"),
@@ -116,7 +124,7 @@ def main() -> None:
     t0 = time.perf_counter()
     want = pipeline.edit_batch(image, mask, ref, steps=opt.steps,
                                scale=opt.scale, seed=opt.seed, x_T=x_T,
-                               det_first_stage=True)
+                               det_first_stage=det)
     live_first_s = time.perf_counter() - t0
     np.save(os.path.join(opt.outdir, "live_out.npy"), want)
 
@@ -134,7 +142,7 @@ def main() -> None:
     bitwise = bool(np.array_equal(got, np.asarray(want)))
     row = {
         "H": H, "W": W, "steps": opt.steps, "batch": b,
-        "quantize": opt.quantize,
+        "quantize": opt.quantize, "det_first_stage": det,
         "bitwise_equal_to_live": bitwise,
         "program_mb": round(len(blob) / 1e6, 2),
         "params_mb": round(os.path.getsize(

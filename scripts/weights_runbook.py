@@ -21,10 +21,12 @@ Steps (each logged, each skippable with --skip_*):
                example_1; writes PNG + sha256 next to the results (the
                committed test golden, tests/test_golden_examples.py:122).
   3. bench    — full test-bench inference (README.md:116-166 command
-               equivalent) via scripts/inference_test_bench.py.
+               equivalent) via scripts/inference_test_bench.py; repeated
+               with --quantize int8 (step 3b) so serving quality is A/B'd
+               the moment weights land (--skip_int8 to opt out).
   4. metrics  — FID (vs GT_3500), CLIP score (vs Ref_3500), QS/GMM over
-               the results, via the three eval CLIs.
-  5. report   — PARITY_WEIGHTS.md with measured-vs-paper table.
+               each arm's results, via the three eval CLIs.
+  5. report   — PARITY_WEIGHTS.md with paper-vs-fp-vs-int8 table.
 
 --dry_run exercises the whole chain on synthetic assets + random-init
 weights (metric values meaningless by construction, mechanics proven).
@@ -77,6 +79,8 @@ def main() -> None:
                         "CPU mechanics check)")
     p.add_argument("--skip_bench", action="store_true")
     p.add_argument("--skip_metrics", action="store_true")
+    p.add_argument("--skip_int8", action="store_true",
+                   help="skip the int8-vs-fp quality A/B (step 3b/4b)")
     opt = p.parse_args()
 
     os.makedirs(opt.outdir, exist_ok=True)
@@ -131,55 +135,69 @@ def main() -> None:
     else:
         print(f"== step 2 SKIPPED ({examples} not present) ==")
 
-    # 3. full test-bench inference ----------------------------------------
-    results = os.path.join(opt.outdir, "bench", "results")
-    if not opt.skip_bench:
-        print("== step 3: test-bench inference ==", flush=True)
+    # 3/3b. full test-bench inference (fp, then the int8 A/B arm) ----------
+    # the A/B answers "is --quantize int8 safe to serve with?" the moment
+    # real weights land: same pairs, same seeds, metrics side by side
+    arms = [("fp", None)] + ([] if opt.skip_int8 else [("int8", "int8")])
+    results_by_arm: dict[str, str] = {}
+    for arm, quantize in arms:
+        bench_dir = os.path.join(
+            opt.outdir, "bench" if arm == "fp" else f"bench_{arm}")
+        results_by_arm[arm] = os.path.join(bench_dir, "results")
+        if opt.skip_bench:
+            continue
+        print(f"== step 3 ({arm}): test-bench inference ==", flush=True)
         cmd = [py, "scripts/inference_test_bench.py",
-               "--outdir", os.path.join(opt.outdir, "bench"),
+               "--outdir", bench_dir,
                "--test_bench_dir", opt.test_bench_dir,
                "--config", opt.config,
                "--n_samples", str(opt.n_samples), "--plms", "--skip_grid"]
+        if quantize:
+            cmd += ["--quantize", quantize]
         if opt.ckpt:
             cmd += ["--ckpt", opt.ckpt]
         run(cmd, log)
 
-    # 4. metrics -----------------------------------------------------------
-    measured: dict[str, float] = {}
+    # 4. metrics (per arm) --------------------------------------------------
+    measured: dict[str, dict[str, float]] = {a: {} for a, _ in arms}
     if not opt.skip_metrics:
-        print("== step 4: metrics ==", flush=True)
-        fid_cmd = [py, "scripts/eval_fid.py",
-                   os.path.join(opt.test_bench_dir, "GT_3500"), results]
-        if opt.inception_weights:
-            fid_cmd += ["--weights", opt.inception_weights]
-        out = run(fid_cmd, log)
-        m = re.search(r"FID[:=]?\s*([0-9.]+)", out)
-        if m:
-            measured["FID"] = float(m.group(1))
-
-        clip_cmd = [py, "scripts/eval_clip_score.py",
-                    "--result_dir", results,
-                    "--test_bench_dir", opt.test_bench_dir]
-        if opt.clip_weights:
-            clip_cmd += ["--weights", opt.clip_weights]
-        out = run(clip_cmd, log)
-        m = re.search(r"(?:CLIP|clip)[ _-]?score[^:=\n]*[:=]\s*([0-9.]+)", out)
-        if m:
-            measured["CLIP"] = float(m.group(1))
-
-        if opt.gmm:
-            gmm_cmd = [py, "scripts/eval_gmm.py", results, "--gmm", opt.gmm]
-            if opt.pca:
-                gmm_cmd += ["--pca", opt.pca]
+        for arm, _ in arms:
+            results = results_by_arm[arm]
+            print(f"== step 4 ({arm}): metrics ==", flush=True)
+            fid_cmd = [py, "scripts/eval_fid.py",
+                       os.path.join(opt.test_bench_dir, "GT_3500"), results]
             if opt.inception_weights:
-                gmm_cmd += ["--weights", opt.inception_weights]
-            out = run(gmm_cmd, log)
-            m = re.search(r"(?:QS|quality[ _-]?score)[:=]?\s*([0-9.]+)", out,
-                          re.I)
+                fid_cmd += ["--weights", opt.inception_weights]
+            out = run(fid_cmd, log)
+            m = re.search(r"FID[:=]?\s*([0-9.]+)", out)
             if m:
-                measured["QS"] = float(m.group(1))
-        else:
-            print("  (no --gmm pickle: QS skipped)")
+                measured[arm]["FID"] = float(m.group(1))
+
+            clip_cmd = [py, "scripts/eval_clip_score.py",
+                        "--result_dir", results,
+                        "--test_bench_dir", opt.test_bench_dir]
+            if opt.clip_weights:
+                clip_cmd += ["--weights", opt.clip_weights]
+            out = run(clip_cmd, log)
+            m = re.search(
+                r"(?:CLIP|clip)[ _-]?score[^:=\n]*[:=]\s*([0-9.]+)", out)
+            if m:
+                measured[arm]["CLIP"] = float(m.group(1))
+
+            if opt.gmm:
+                gmm_cmd = [py, "scripts/eval_gmm.py", results,
+                           "--gmm", opt.gmm]
+                if opt.pca:
+                    gmm_cmd += ["--pca", opt.pca]
+                if opt.inception_weights:
+                    gmm_cmd += ["--weights", opt.inception_weights]
+                out = run(gmm_cmd, log)
+                m = re.search(
+                    r"(?:QS|quality[ _-]?score)[:=]?\s*([0-9.]+)", out, re.I)
+                if m:
+                    measured[arm]["QS"] = float(m.group(1))
+            else:
+                print("  (no --gmm pickle: QS skipped)")
 
     # 5. parity report ------------------------------------------------------
     lines = [
@@ -190,16 +208,19 @@ def main() -> None:
         f"- metric towers: inception=`{opt.inception_weights or 'RANDOM'}` "
         f"clip=`{opt.clip_weights or 'RANDOM'}` gmm=`{opt.gmm or 'NONE'}`",
         "",
-        "| metric | paper (README.md:116-166) | measured | note |",
-        "|---|---|---|---|",
+        "| metric | paper (README.md:116-166) | measured (fp) |"
+        " measured (int8) | note |",
+        "|---|---|---|---|---|",
     ]
     trustworthy = bool(opt.ckpt) and bool(opt.inception_weights)
     for k, paper_v in PAPER.items():
-        v = measured.get(k)
+        v = measured.get("fp", {}).get(k)
+        v8 = measured.get("int8", {}).get(k)
         note = ("" if trustworthy else
                 "random-init towers/weights: value meaningless")
         lines.append(
-            f"| {k} | {paper_v} | {v if v is not None else '—'} | {note} |"
+            f"| {k} | {paper_v} | {v if v is not None else '—'} "
+            f"| {v8 if v8 is not None else '—'} | {note} |"
         )
     report_path = os.path.join(opt.outdir, "PARITY_WEIGHTS.md")
     with open(report_path, "w") as f:

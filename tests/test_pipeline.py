@@ -117,3 +117,39 @@ def test_paste_back_preserves_unmasked_pixels(pipeline):
     np.testing.assert_allclose(out[0][keep], src01[0][keep], atol=1e-6)
     # the deep edit interior is untouched by the feather
     np.testing.assert_array_equal(out[0, 14:18, 14:18], plain[0, 14:18, 14:18])
+
+
+def test_tiled_pipeline_single_crop_matches_untiled(pipeline):
+    # a ks == latent tiling has one crop: the stitch is fn(x)*w/w, so the
+    # tiled program must reproduce the untiled edit to fp noise
+    from pbe_tpu.ops.tiling import TilingSpec
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    image, mask, ref = _inputs()
+    tiled = EditPipeline(pipeline.model, pipeline.variables,
+                         tiling=TilingSpec(ks=(8, 8), stride=(8, 8)))
+    kw = dict(steps=3, scale=5.0, seed=1, det_first_stage=True)
+    a = pipeline.edit_batch(image, mask, ref, **kw)
+    b = tiled.edit_batch(image, mask, ref, **kw)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_tiled_pipeline_overlapping_runs_and_is_deterministic(pipeline):
+    # 4x4 crops at stride 2 over the 8x8 latent (9 crops, reference
+    # split_input_params semantics latent_diffusion.py:656-736): per-crop
+    # attention differs from global attention, so only mechanics +
+    # determinism are asserted here; quality deltas are measured at
+    # production geometry by scripts/bench_tiling_seams.py (PERF.md §6)
+    from pbe_tpu.ops.tiling import TilingSpec
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    image, mask, ref = _inputs()
+    tiled = EditPipeline(pipeline.model, pipeline.variables,
+                         tiling=TilingSpec(ks=(4, 4), stride=(2, 2)))
+    kw = dict(steps=3, scale=5.0, seed=1, det_first_stage=True)
+    a = tiled.edit_batch(image, mask, ref, **kw)
+    b = tiled.edit_batch(image, mask, ref, **kw)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    plain = pipeline.edit_batch(image, mask, ref, **kw)
+    assert np.abs(a - plain).max() > 0  # it really changed the math
