@@ -107,11 +107,15 @@ def load_pipeline(
     seed: int = 0,
     verbose: bool = True,
     quantize: str | None = None,
+    tiling=None,
 ) -> tuple[EditPipeline, dict]:
     """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg).
 
     quantize="int8": serve with w8a8 UNet matmuls/convs (ops/quant.py) —
-    opt-in; weights stay fp32, quantization happens in-program."""
+    opt-in; weights stay fp32, quantization happens in-program.
+    tiling: optional ops.tiling.TilingSpec — run every UNet eps call over
+    latent crops (reference split_input_params, latent_diffusion.py:656-736);
+    PERF.md §6 says when (if ever) this is worth it."""
     if attn_impl is None:
         from pbe_tpu.ops.attention import default_attn_impl
 
@@ -128,4 +132,5 @@ def load_pipeline(
         )
     if verbose:
         print(f"model parameters: {count_params(variables) / 1e6:.1f}M")
-    return EditPipeline(model, variables, quantize=quantize), raw
+    return EditPipeline(model, variables, quantize=quantize,
+                        tiling=tiling), raw

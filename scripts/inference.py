@@ -94,6 +94,16 @@ def get_parser() -> argparse.ArgumentParser:
                    help="w8a8 int8 UNet execution (ops/quant.py) — opt-in; "
                         "output differs from fp by the PTQ rounding error "
                         "(bench_quant_drift.py bounds it)")
+    p.add_argument("--tile_ks", type=int, default=0,
+                   help="latent tile size: run the UNet over ks-side latent "
+                        "crops stitched with border weighting (reference "
+                        "split_input_params, latent_diffusion.py:656-736). "
+                        "0 = exact un-tiled math (default — faster AND "
+                        "exact at every size we measured, PERF.md §6)")
+    p.add_argument("--tile_stride", type=int, default=0,
+                   help="latent tile stride (default ks/2 when --tile_ks "
+                        "is set; stride == ks is the non-overlapping FLOP "
+                        "floor, with seams quantified in PERF.md §6)")
     p.add_argument("--enforce_safety", action="store_true",
                    help="black out flagged frames; default is report-only, "
                         "matching the reference (it discards the checker's "
@@ -119,8 +129,14 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml",
     )
+    tiling = None
+    if opt.tile_ks:
+        from pbe_tpu.ops.tiling import TilingSpec
+        stride = opt.tile_stride or max(opt.tile_ks // 2, 1)
+        tiling = TilingSpec(ks=(opt.tile_ks, opt.tile_ks),
+                            stride=(stride, stride))
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                quantize=opt.quantize)
+                                quantize=opt.quantize, tiling=tiling)
 
     safety = None
     if opt.safety_ckpt:
