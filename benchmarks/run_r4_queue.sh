@@ -6,6 +6,23 @@ set -x
 cd /root/repo
 B=benchmarks
 
+# claim probe: the axon device grant can be stuck for minutes after an
+# interrupted process; backend init then blocks forever with no error.
+# Retry a trivial on-device op under a short timeout until the chip is
+# actually claimable, so a poisoned grant stalls THIS loop, not job 1.
+for i in $(seq 1 12); do
+  if timeout 240 python -c "
+import jax, jax.numpy as jnp
+print('devices', jax.devices())
+print('probe', float(jnp.ones((8, 8)).sum()))
+"; then
+    echo "== claim probe OK (attempt $i) =="
+    break
+  fi
+  echo "== claim probe attempt $i failed; sleeping 60s =="
+  sleep 60
+done
+
 # 1. pipelined flash-attention variant: does it beat rowblock on-chip?
 timeout 2400 python scripts/bench_attention.py \
   --impls pipelined,rowblock --shapes unet_ds1,unet_ds2 --repeats 10 \

@@ -62,7 +62,7 @@ def main() -> None:
                 x, w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME",
+            x, w.astype(x.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32).astype(x.dtype)
 
