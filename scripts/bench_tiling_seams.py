@@ -109,7 +109,10 @@ def main() -> None:
     mask = np.ones((1, H, W, 1), np.float32)
     mask[:, H // 4: 3 * H // 4, W // 4: 3 * W // 4] = 0.0
     g = np.random.default_rng(opt.seed)
-    r = 224 if not opt.unet_channels else model.cond_config.clip.image_size
+    try:
+        r = model.cond_config.clip.image_size
+    except AttributeError:
+        r = 224
     ref = g.standard_normal((1, r, r, 3)).astype(np.float32)
     f = model.latent_downsample
     x_T = g.standard_normal((1, H // f, W // f, 4)).astype(np.float32)
