@@ -22,7 +22,12 @@ def augment_exemplar(
     max_rotate_deg: float = 20.0,
     blur_p: float = 0.3,
     color_jitter: float = 0.0,
+    normalize: bool = True,
 ) -> np.ndarray:
+    """normalize=False returns the augmented uint8 pixels instead of the
+    CLIP-normalized float (the uint8 transfer path normalizes on device;
+    identical values since the host float is u8/255 exactly). color_jitter
+    operates in float space and requires normalize=True."""
     img = img.resize((size, size), Image.BICUBIC)
     if rng.uniform() < flip_p:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -30,6 +35,9 @@ def augment_exemplar(
     img = img.rotate(deg, resample=Image.BILINEAR)
     if rng.uniform() < blur_p:
         img = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.5, 1.5)))
+    if not normalize:
+        assert color_jitter == 0, "color_jitter needs the float path"
+        return np.asarray(img)
     x = np.asarray(img, np.float32) / 255.0
     if color_jitter > 0:
         scale = 1.0 + rng.uniform(-color_jitter, color_jitter, size=(1, 1, 3))

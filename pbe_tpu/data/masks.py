@@ -51,7 +51,7 @@ def bbox_mask(h: int, w: int, bbox: tuple[float, float, float, float]) -> np.nda
     return m[..., None]
 
 
-def arbitrary_blob_mask(
+def blob_polygon(
     h: int,
     w: int,
     bbox: tuple[float, float, float, float],
@@ -60,13 +60,12 @@ def arbitrary_blob_mask(
     jitter: float = 0.25,
     expand: float = 0.15,
 ) -> np.ndarray:
-    """Random smooth blob covering roughly the bbox region.
+    """Closed-contour polygon points of a random smooth blob around bbox.
 
     Anchors are placed on an ellipse circumscribing the (slightly expanded)
     bbox with radial jitter; consecutive anchors are joined by quadratic
-    Bézier segments whose control point is jittered outward, then the closed
-    contour is filled.
-    """
+    Bézier segments whose control point is jittered outward. Returns (N, 2)
+    points in full-image coordinates, clipped to the canvas."""
     x1, y1, x2, y2 = bbox
     cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
     rx = (x2 - x1) / 2 * (1 + expand)
@@ -94,6 +93,20 @@ def arbitrary_blob_mask(
     poly = np.concatenate(contour, axis=0)
     poly[:, 0] = np.clip(poly[:, 0], 0, w - 1)
     poly[:, 1] = np.clip(poly[:, 1], 0, h - 1)
+    return poly
+
+
+def arbitrary_blob_mask(
+    h: int,
+    w: int,
+    bbox: tuple[float, float, float, float],
+    rng: np.random.Generator,
+    n_anchors: int = 8,
+    jitter: float = 0.25,
+    expand: float = 0.15,
+) -> np.ndarray:
+    """Random smooth blob covering roughly the bbox region (rasterized)."""
+    poly = blob_polygon(h, w, bbox, rng, n_anchors, jitter, expand)
 
     from pbe_tpu.data import native
 
@@ -117,6 +130,71 @@ def training_mask(
     if rng.uniform() < arbitrary_mask_percent:
         return arbitrary_blob_mask(h, w, bbox, rng)
     return bbox_mask(h, w, bbox)
+
+
+# -- geometry-first variants (crop-first fast path) --------------------------
+# The full-resolution rasterize->crop->resize pipeline costs ~2 full-image
+# float passes per sample; on this 1-core host that dominated __getitem__
+# (~230 of 271 ms, benchmarks/input_pipeline_r5.jsonl). These variants defer
+# rasterization: generate the mask GEOMETRY in image coordinates, then draw
+# it once directly in the output (cropped+resized) frame.
+
+MaskGeometry = tuple  # ("bbox", (x1, y1, x2, y2)) | ("poly", (N, 2) ndarray)
+
+
+def mask_geometry(
+    h: int,
+    w: int,
+    bbox: tuple[float, float, float, float],
+    rng: np.random.Generator,
+    arbitrary_mask_percent: float = 0.5,
+) -> MaskGeometry:
+    """training_mask's decision + geometry, without rasterizing.
+
+    Consumes the same rng draws as training_mask for the same outcome."""
+    if rng.uniform() < arbitrary_mask_percent:
+        return ("poly", blob_polygon(h, w, bbox, rng))
+    return ("bbox", bbox)
+
+
+def geometry_bbox(geom: MaskGeometry) -> tuple[float, float, float, float]:
+    """Tight (x1, y1, x2, y2) of the geometry (polygon vertex hull — the
+    filled region's bbox equals the closed contour's vertex bbox)."""
+    kind, data = geom
+    if kind == "bbox":
+        return tuple(float(v) for v in data)
+    poly = data
+    return (float(poly[:, 0].min()), float(poly[:, 1].min()),
+            float(poly[:, 0].max()), float(poly[:, 1].max()))
+
+
+def rasterize_geometry(
+    geom: MaskGeometry,
+    out_h: int,
+    out_w: int,
+    left: float = 0.0,
+    top: float = 0.0,
+    scale: float = 1.0,
+) -> np.ndarray:
+    """Draw the geometry into an (out_h, out_w) uint8 canvas (255 = edit),
+    mapping image coords p -> (p - (left, top)) * scale. With left=top=0,
+    scale=1 this matches the full-res rasterization of training_mask (bbox
+    arm bit-exact; blob arm equal up to polygon-edge pixels)."""
+    if geom[0] == "bbox":
+        x1, y1, x2, y2 = geom[1]
+        u1 = int(round((x1 - left) * scale))
+        v1 = int(round((y1 - top) * scale))
+        u2 = int(round((x2 - left) * scale))
+        v2 = int(round((y2 - top) * scale))
+        m = np.zeros((out_h, out_w), np.uint8)
+        m[max(v1, 0):max(v2, 0), max(u1, 0):max(u2, 0)] = 255
+        return m
+    poly = geom[1].astype(np.float64).copy()
+    poly[:, 0] = (poly[:, 0] - left) * scale
+    poly[:, 1] = (poly[:, 1] - top) * scale
+    img = Image.new("L", (out_w, out_h), 0)
+    ImageDraw.Draw(img).polygon([tuple(p) for p in poly.tolist()], fill=255)
+    return np.asarray(img)
 
 
 def mask_bbox(mask: np.ndarray) -> tuple[int, int, int, int] | None:

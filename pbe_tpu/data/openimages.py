@@ -30,7 +30,13 @@ import numpy as np
 from PIL import Image
 
 from pbe_tpu.data.augment import augment_exemplar
-from pbe_tpu.data.masks import crop_square_around_mask, training_mask
+from pbe_tpu.data.masks import (
+    crop_square_around_mask,  # noqa: F401  (kept: public API + tests)
+    geometry_bbox,
+    mask_geometry,
+    rasterize_geometry,
+    training_mask,  # noqa: F401
+)
 
 
 def _resize_hwc(x: np.ndarray, size: int, nearest: bool = False) -> np.ndarray:
@@ -55,7 +61,14 @@ class OpenImagesDataset:
         min_box_frac: float = 0.02,
         max_box_frac: float = 0.8,
         seed: int = 0,
+        uint8: bool = False,
     ):
+        """uint8=True returns {'image','mask','ref'} as uint8 (mask 255 =
+        keep, no 'inpaint_image' — it is image*mask, computed on device by
+        train_step). This cuts the per-step H2D transfer ~6.7x (63.5 -> 9.5
+        MB at batch 8), which matters enormously here: the axon tunnel
+        moves ~0.04 GB/s (benchmarks/input_pipeline_r5.jsonl), so float32
+        batches alone cost 1.7 s/step against a 0.588 s device step."""
         self.dataset_dir = Path(dataset_dir)
         self.state = state
         self.image_size = image_size
@@ -63,6 +76,7 @@ class OpenImagesDataset:
         self.min_box_frac = min_box_frac
         self.max_box_frac = max_box_frac
         self.seed = seed
+        self.uint8 = uint8
         bbox_dir = self.dataset_dir / "bbox" / state
         self.ids = sorted(p.stem for p in bbox_dir.glob("*.txt")) if bbox_dir.is_dir() else []
 
@@ -86,11 +100,18 @@ class OpenImagesDataset:
         return np.asarray(rows, np.float32)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        # Crop-first, uint8-first: the former full-res rasterize -> float
+        # convert -> mask-multiply -> crop -> 3x float/PIL resize round trip
+        # cost ~270 ms/image on this 1-core host (~230 ms of it AFTER the
+        # 17-26 ms decode; benchmarks/input_pipeline_r5.jsonl). Here the
+        # mask is generated as GEOMETRY, the crop window is computed from
+        # that geometry, the image is cropped+resized once in uint8 (PIL
+        # resize(box=...)), and the mask is rasterized directly in the
+        # output frame — float conversion touches only image_size^2 pixels.
         rng = np.random.default_rng((self.seed, idx))
         id_ = self.ids[idx]
         img = Image.open(self._image_path(id_)).convert("RGB")
         w, h = img.size
-        image01 = np.asarray(img, np.float32) / 255.0
 
         boxes = self._read_bboxes(id_)
         # filter degenerate boxes (area fraction bounds per read_bbox.py:35)
@@ -103,32 +124,40 @@ class OpenImagesDataset:
             boxes = np.asarray([[w * 0.25, h * 0.25, w * 0.75, h * 0.75]], np.float32)
         bbox = tuple(boxes[rng.integers(len(boxes))])
 
-        edit_mask = training_mask(h, w, bbox, rng, self.arbitrary_mask_percent)
-        keep_mask = 1.0 - edit_mask
+        geom = mask_geometry(h, w, bbox, rng, self.arbitrary_mask_percent)
 
         x1, y1, x2, y2 = (int(round(v)) for v in bbox)
         ref_crop = img.crop((max(x1, 0), max(y1, 0), min(x2, w), min(y2, h)))
-        ref = augment_exemplar(ref_crop, rng)
+        ref = augment_exemplar(ref_crop, rng, normalize=not self.uint8)
 
-        image = image01 * 2.0 - 1.0
-        source = image * keep_mask
-        # Crop around the EDIT mask (the object region) — passing the keep
-        # mask would make the bbox span the whole image and degenerate the
-        # 10-40%-padded object-centered crop into a fixed max-square crop.
-        image, source, edit_mask = crop_square_around_mask(
-            image, source, edit_mask, rng
-        )
-        keep_mask = 1.0 - edit_mask
+        # random square crop covering the EDIT region with 10-40% padding
+        # (crop_square_around_mask math, computed from the geometry bbox —
+        # cropping around the KEEP mask would degenerate to a max-square)
+        gx1, gy1, gx2, gy2 = geometry_bbox(geom)
+        side = int(max(gy2 - gy1, gx2 - gx1) * (1 + rng.uniform(0.10, 0.40)))
+        side = max(min(side, h, w), 1)
+        cy, cx = int(gy1 + gy2) // 2, int(gx1 + gx2) // 2
+        top = max(min(cy - side // 2, h - side), 0)
+        left = max(min(cx - side // 2, w - side), 0)
+
         s = self.image_size
-        image = _resize_hwc((image + 1) / 2, s) * 2.0 - 1.0
-        source = _resize_hwc((source + 1) / 2, s) * 2.0 - 1.0
-        keep_mask = (_resize_hwc(keep_mask, s) > 0.5).astype(np.float32)
-        # re-zero the source under the resized mask so mask/source stay consistent
-        source = source * keep_mask
+        image_u8 = np.asarray(img.resize(
+            (s, s), Image.BICUBIC, box=(left, top, left + side, top + side)))
+        edit_u8 = rasterize_geometry(geom, s, s, left=left, top=top,
+                                     scale=s / side)
 
+        if self.uint8:
+            return {
+                "image": image_u8,
+                "mask": np.where(edit_u8 > 127, 0, 255
+                                 ).astype(np.uint8)[..., None],
+                "ref": ref,
+            }
+        image = image_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+        keep_mask = (edit_u8 <= 127).astype(np.float32)[..., None]
         return {
-            "image": image.astype(np.float32),
-            "inpaint_image": source.astype(np.float32),
+            "image": image,
+            "inpaint_image": image * keep_mask,
             "mask": keep_mask,
             "ref": ref,
         }

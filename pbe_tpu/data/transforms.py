@@ -17,6 +17,24 @@ CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def unpack_uint8_batch(batch: dict) -> dict:
+    """Host-side inverse of the uint8 transfer format
+    (OpenImagesDataset(uint8=True)); numpy counterpart of
+    training.train_step.normalize_uint8_batch for consumers that need
+    float batches on the host (trainer sampling/FID). No-op for float
+    batches."""
+    img = batch.get("image")
+    if img is None or getattr(img, "dtype", None) != np.uint8:
+        return batch
+    image = img.astype(np.float32) / 255.0 * 2.0 - 1.0
+    mask = (np.asarray(batch["mask"]) > 127).astype(np.float32)
+    ref = (batch["ref"].astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    out = {k: v for k, v in batch.items() if k not in ("image", "mask", "ref")}
+    out.update(image=image, inpaint_image=image * mask, mask=mask,
+               ref=ref.astype(np.float32))
+    return out
+
+
 def load_image(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     """RGB image -> (H, W, 3) float32 in [-1, 1]."""
     img = Image.open(path).convert("RGB")

@@ -61,8 +61,15 @@ def save_params_npz(path: str, variables: dict) -> None:
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str) -> dict:
-    """Inverse of :func:`save_params_npz`."""
+def load_params_npz(path: str, to_device: bool = True) -> dict:
+    """Inverse of :func:`save_params_npz`.
+
+    to_device=True (default) transfers the whole tree to the default device
+    once at load. This matters: passing host (numpy) leaves to the frozen
+    program re-uploads every parameter on EVERY call — at v1 geometry that
+    is ~5 GB per invocation and made the round-4 warm call 176 s vs the
+    live pipeline's ~1 s. A deployment host should pay the H2D cost exactly
+    once. Pass to_device=False only for host-side inspection."""
     import numpy as np
 
     tree: dict = {}
@@ -73,4 +80,6 @@ def load_params_npz(path: str) -> dict:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = data[key]
+    if to_device:
+        tree = jax.device_put(tree)
     return tree

@@ -21,9 +21,10 @@ happens at the output resolution (latent_diffusion.py:338-363).
 
 This is the model-parallel fallback for resolutions beyond what one chip's
 flash attention covers; at 1024^2 (16384 tokens) the grid-streamed flash
-kernel already handles the UNet un-tiled, so tiling is exposed for the
-first stage and for arbitrary user models rather than wired into the PBE
-edit path by default.
+kernel already handles the UNet un-tiled, so tiling is an OPT-IN mode:
+off by default, enabled per-pipeline via ``EditPipeline(tiling=TilingSpec
+(...))`` or on the CLI via ``--tile_ks/--tile_stride`` (it wraps the eps
+model inside the sampler loop; see pipelines/inference.py).
 """
 from __future__ import annotations
 

@@ -185,10 +185,13 @@ class EditPipeline:
     def _fn(self, steps: int, sampler: str, eta: float, cfg: bool,
             paste: int = -1, det_first_stage: bool = False,
             out: str = "float32"):
-        key = (steps, sampler, eta, cfg, paste, det_first_stage, out,
-               self.quantize, self.tiling)
+        # explicit build-args tuple: the cache key is build_args plus the
+        # pipeline-level modes _build reads from self, so appending a new
+        # key element can never silently shift what _build receives
+        build_args = (steps, sampler, eta, cfg, paste, det_first_stage, out)
+        key = build_args + (self.quantize, self.tiling)
         if key not in self._fns:
-            self._fns[key] = self._build(*key[:7])
+            self._fns[key] = self._build(*build_args)
         return self._fns[key]
 
     # -- public API ---------------------------------------------------------

@@ -35,6 +35,51 @@ def init_variables(model: PaintByExample, seed: int = 0) -> dict:
     )(rng)
 
 
+def randomize_zero_params(variables: dict, seed: int = 0,
+                          scale: float = 0.1) -> dict:
+    """Replace every all-zero float leaf with seeded gaussian noise*scale.
+
+    The UNet's eps head, every ResBlock out-conv, and every transformer
+    proj_out are zero-init (models/unet.py, reference zero_module parity:
+    openaimodel.py:163-275), so a random-INIT model computes eps == 0 and
+    every sampler trajectory from a given x_T is identical — any bench
+    built on init_variables alone measures a constant-zero function (the
+    round-4 quant-drift / tiling-seam trap). JAX port of the test suite's
+    _randomize_zero_params (tests/test_full_model_parity.py)."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(variables)
+    g = np.random.default_rng(seed)
+    out = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if np.issubdtype(a.dtype, np.floating) and a.size and not np.any(a):
+            a = (g.standard_normal(a.shape) * scale).astype(a.dtype)
+        out.append(jnp.asarray(a))
+    return jax.tree.unflatten(treedef, out)
+
+
+def eps_rms_probe(model: PaintByExample, variables: dict,
+                  height: int = 512, width: int = 512,
+                  seed: int = 0) -> float:
+    """RMS of one eps prediction on random inputs at the edit geometry.
+
+    Benches on random-init weights must assert this clears a threshold
+    (e.g. > 1e-3) before timing/measuring, or they are measuring the
+    zero-init eps head (see randomize_zero_params)."""
+    f = model.latent_downsample
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    x9 = jax.random.normal(
+        k1, (1, height // f, width // f, 9), model.dtype)
+    ctx = jax.random.normal(k2, (1, 1, 768), model.dtype)
+    t = jnp.array([500], jnp.int32)
+    eps = jax.jit(
+        lambda v, x, tt, c: model.apply(v, x, tt, c,
+                                        method=PaintByExample.apply_model)
+    )(variables, x9, t, ctx)
+    return float(jnp.sqrt(jnp.mean(jnp.square(eps.astype(jnp.float32)))))
+
+
 def overlay_checkpoint(
     variables: dict, ckpt_path: str, verbose: bool = True,
     drop_torch_prefixes: tuple[str, ...] = (),

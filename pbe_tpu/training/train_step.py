@@ -97,6 +97,29 @@ def create_train_state(
     )
 
 
+def normalize_uint8_batch(batch: dict) -> dict:
+    """Device-side unpack of the uint8 transfer format (see
+    OpenImagesDataset(uint8=True)): image u8 -> [-1,1] float, mask u8
+    (255 = keep) -> {0,1} float, inpaint_image = image * mask (never
+    transferred), ref u8 -> CLIP-normalized float. Matches the host float
+    path bit-exactly (hosts compute u8/255 in float32 too). No-op for
+    float batches, so one loss_fn serves both pipelines."""
+    img = batch.get("image")
+    if img is None or img.dtype != jnp.uint8:
+        return batch
+    from pbe_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    image = img.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    mask = (batch["mask"] > 127).astype(jnp.float32)
+    ref01 = batch["ref"].astype(jnp.float32) / 255.0
+    ref = (ref01 - jnp.asarray(CLIP_MEAN, jnp.float32)) / jnp.asarray(
+        CLIP_STD, jnp.float32)
+    out = {k: v for k, v in batch.items()
+           if k not in ("image", "mask", "ref")}
+    out.update(image=image, inpaint_image=image * mask, mask=mask, ref=ref)
+    return out
+
+
 def make_loss_fn(model: PaintByExample, det_first_stage: bool = False):
     """det_first_stage=True uses the VAE posterior MODE instead of sampling
     it per step (reference parity is sampling, latent_diffusion.py:255-262).
@@ -110,7 +133,9 @@ def make_loss_fn(model: PaintByExample, det_first_stage: bool = False):
 
     def loss_fn(trainable, frozen, batch, rng):
         """batch: image/inpaint_image NHWC [-1,1]; mask (B,H,W,1) keep=1;
-        ref (B,224,224,3) CLIP-normalized."""
+        ref (B,224,224,3) CLIP-normalized — or the uint8 transfer format
+        (normalize_uint8_batch)."""
+        batch = normalize_uint8_batch(batch)
         params = {"params": merge_params(trainable, frozen)}
         r_vae, r_t, r_noise, r_uc = jax.random.split(rng, 4)
         b = batch["image"].shape[0]
@@ -138,8 +163,15 @@ def make_loss_fn(model: PaintByExample, det_first_stage: bool = False):
         per_ex = jnp.mean(
             (eps.astype(jnp.float32) - noise) ** 2, axis=(1, 2, 3)
         )
-        loss_simple = per_ex.mean()
-        loss_vlb = (lvlb_w[t] * per_ex).mean()
+        # optional per-example weights (Trainer._put_batch pads ragged
+        # batches to the mesh size with zero-weight rows; the weighted mean
+        # is then exactly the mean over the real rows — unbiased gradients)
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((b,), jnp.float32)
+        wsum = jnp.maximum(w.sum(), 1e-9)
+        loss_simple = (w * per_ex).sum() / wsum
+        loss_vlb = (w * lvlb_w[t] * per_ex).sum() / wsum
         # v1: logvar == 0 and original_elbo_weight == 0 -> loss == loss_simple
         loss = loss_simple
         metrics = {

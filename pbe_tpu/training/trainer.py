@@ -151,6 +151,7 @@ class Trainer:
             # batch; the data never crosses hosts
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
+            arrays = self._pad_ragged(arrays, jax.local_device_count())
             return host_local_to_global(arrays, self.mesh)
         # already-device-resident entries (e.g. a fixed batch the caller
         # transferred once) pass through: device_put with the same sharding
@@ -158,9 +159,40 @@ class Trainer:
         # zero H2D (the tunnel transfer is ~60 MB/step at 512^2 batch 8)
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, (np.ndarray, jax.Array))}
+        arrays = self._pad_ragged(arrays, self.mesh.size)
         return jax.device_put(
             arrays, jax.tree.map(lambda _: self._batch_sharding, arrays)
         )
+
+    @staticmethod
+    def _pad_ragged(arrays: dict, n: int) -> dict:
+        """Batch sharding needs batch % n_devices == 0. Ragged batches (e.g.
+        a final partial batch, or any val batch smaller than the mesh — the
+        round-4 crash) are padded by repeating the last row, with a ``weight``
+        vector zeroing the padded rows so the weighted loss in
+        train_step.make_loss_fn is exactly the mean over the real rows.
+        Same pad-and-trim idea as EditPipeline.shard (pipelines/inference.py),
+        but with exact loss semantics instead of output trimming."""
+        if not arrays:
+            return arrays
+        b = next(iter(arrays.values())).shape[0]
+        pad = (-b) % n
+        if not pad and "weight" in arrays:
+            return arrays
+
+        def _pad_rows(v):
+            xp = np if isinstance(v, np.ndarray) else jnp
+            return xp.concatenate([v, xp.repeat(v[-1:], pad, axis=0)], axis=0)
+
+        w = arrays.get("weight")
+        if w is None:
+            w = np.ones((b,), np.float32)
+        if pad:
+            arrays = {k: _pad_rows(v) for k, v in arrays.items()
+                      if k != "weight"}
+            w = np.concatenate([np.asarray(w), np.zeros((pad,), np.float32)])
+        arrays["weight"] = np.asarray(w, np.float32)
+        return arrays
 
     def _device_batches(self, loader: Iterable) -> Iterator[dict]:
         """One-batch-ahead device_put: batch i+1's host->device transfer is
@@ -285,6 +317,9 @@ class Trainer:
             self._sample_pipeline = EditPipeline(self.model, merged)
         else:
             self._sample_pipeline.variables = merged
+        from pbe_tpu.data.transforms import unpack_uint8_batch
+
+        batch = unpack_uint8_batch(batch)
         arrays = {k: np.asarray(v) for k, v in batch.items()
                   if isinstance(v, (np.ndarray, jnp.ndarray))}
         preds = infer_batch(
@@ -321,7 +356,10 @@ class Trainer:
                 batch, steps=steps, scale=scale, sampler=sampler, seed=i,
             )
             if tracker is not None:
-                arrays = {k: np.asarray(v) for k, v in batch.items()
+                from pbe_tpu.data.transforms import unpack_uint8_batch
+
+                fb = unpack_uint8_batch(batch)
+                arrays = {k: np.asarray(v) for k, v in fb.items()
                           if isinstance(v, (np.ndarray, jnp.ndarray))}
                 tracker.update(arrays, preds)
         return tracker.compute() if tracker is not None else {}

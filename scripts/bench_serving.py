@@ -49,12 +49,96 @@ def get_parser() -> argparse.ArgumentParser:
                         "the device")
     p.add_argument("--queue_depth", type=int, default=256,
                    help="admission queue bound; full => ServerOverloaded")
+    p.add_argument("--arrival_rate", type=float, default=0.0,
+                   help="OPEN-LOOP mode: Poisson arrivals/s submitted "
+                        "regardless of completions (set above capacity to "
+                        "create true overload — the closed-loop "
+                        "--concurrency mode self-throttles and can never "
+                        "grow the queue past the thread count). 0 = "
+                        "closed-loop mode")
+    p.add_argument("--duration_s", type=float, default=60.0,
+                   help="open-loop offered-load duration")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every bucket before timing")
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--uint8_out", action="store_true",
                    help="on-device uint8 conversion (4x smaller readback)")
     return p
+
+
+def run_open_loop(opt, server, image, mask, ref) -> None:
+    """Open-loop offered load: submit at Poisson rate for duration_s, then
+    drain. With a deadline + bounded queue (shaping ON) the server sheds
+    load at admission/expiry and completed-request latency stays bounded;
+    without (shaping OFF) the queue grows and p95 explodes — the VERDICT
+    r4 item 7 comparison, run at the SAME offered load both ways."""
+    from pbe_tpu.serving.server import ServerOverloaded
+
+    g = np.random.default_rng(1)
+    submitted = 0
+    rejected_at_submit = 0
+    pending: list[tuple[float, object]] = []
+    t0 = time.perf_counter()
+    t_end = t0 + opt.duration_s
+    while time.perf_counter() < t_end:
+        try:
+            f = server.submit(image, mask, ref, seed=submitted)
+            pending.append((time.perf_counter(), f))
+        except ServerOverloaded:
+            rejected_at_submit += 1
+        submitted += 1
+        dt = g.exponential(1.0 / opt.arrival_rate)
+        # sleep off the remaining inter-arrival gap (submit() is cheap)
+        time.sleep(max(0.0, dt))
+    offered_wall = time.perf_counter() - t0
+
+    latencies: list[float] = []
+    expired = 0
+    errors: list[str] = []
+    for t_sub, f in pending:
+        try:
+            out = f.result()
+            assert out.shape == (opt.H, opt.W, 3)
+            latencies.append(time.perf_counter() - t_sub)
+        except Exception as e:
+            name = type(e).__name__
+            if name == "DeadlineExceeded":
+                expired += 1
+            else:
+                errors.append(f"{name}: {e}")
+    wall = time.perf_counter() - t0
+    stats = server.stats()
+    server.close()
+
+    record = {
+        "metric": f"open-loop served {opt.H}x{opt.W} edits/s "
+                  f"({opt.ddim_steps}-step, {opt.arrival_rate}/s offered)",
+        "value": round(len(latencies) / wall, 4),
+        "unit": "edits/s",
+        "offered_per_s": opt.arrival_rate,
+        "offered_wall_s": round(offered_wall, 2),
+        "wall_s": round(wall, 2),
+        "submitted": submitted,
+        "completed": len(latencies),
+        "rejected_at_submit": rejected_at_submit,
+        "expired": expired,
+        "server_rejected": stats["rejected"],
+        "server_expired": stats["expired"],
+        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 3),
+        "batches": stats["batches"],
+        "quantize": opt.quantize,
+        "deadline_s": opt.deadline_s or None,
+        "queue_depth": opt.queue_depth,
+        "shaping": bool(opt.deadline_s),
+    }
+    if latencies:
+        record["p50_latency_s"] = round(float(np.percentile(latencies, 50)), 3)
+        record["p95_latency_s"] = round(float(np.percentile(latencies, 95)), 3)
+        record["max_latency_s"] = round(max(latencies), 3)
+    if errors:
+        record["errors"] = len(errors)
+        record["first_error"] = errors[0]
+    print(json.dumps(record))
 
 
 def main() -> None:
@@ -96,6 +180,10 @@ def main() -> None:
 
     if opt.warmup:
         server.warmup(opt.H, opt.W)
+
+    if opt.arrival_rate > 0:
+        run_open_loop(opt, server, image, mask, ref)
+        return
 
     latencies: list[float] = []
     client_errors: list[str] = []

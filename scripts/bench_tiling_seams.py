@@ -83,14 +83,26 @@ def main() -> None:
     from pbe_tpu.models.pbe import PaintByExampleConfig
     from pbe_tpu.ops.tiling import TilingSpec
     from pbe_tpu.pipelines.inference import EditPipeline
-    from pbe_tpu.pipelines.loading import init_variables
+    from pbe_tpu.pipelines.loading import (
+        eps_rms_probe,
+        init_variables,
+        randomize_zero_params,
+    )
 
     cfg = PaintByExampleConfig()
     if opt.unet_channels:
         from pbe_tpu.models.unet import UNetConfig
         cfg.unet_config = UNetConfig(model_channels=opt.unet_channels)
     model = cfg.build(dtype=jnp.bfloat16, attn_impl=opt.attn)
-    variables = init_variables(model, seed=0)
+    # random-init alone leaves the zero-init eps head at eps==0, making all
+    # three arms trivially identical (the round-4 vacuous result); perturb
+    # the zero leaves and prove eps is nontrivial before measuring
+    variables = randomize_zero_params(init_variables(model, seed=0), seed=1)
+    eps_rms = eps_rms_probe(model, variables, opt.size, opt.size)
+    assert eps_rms > 1e-3, (
+        f"eps RMS {eps_rms:.2e}: the UNet is still computing ~0 — the "
+        f"seam measurement would be vacuous")
+    print(f"eps_rms_probe = {eps_rms:.4f}", file=sys.stderr)
 
     # synthetic scene with real spatial structure (smooth gradients +
     # disks) so a stitch discontinuity is measurable against a quiet

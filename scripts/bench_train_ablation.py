@@ -134,25 +134,32 @@ def main() -> None:
         return (t_of(opt.hi) - t_of(opt.lo)) / (opt.hi - opt.lo)
 
     def timed_full_chain():
-        # the full step mutates state: carry it through the loop
+        # the full step mutates state: carry it through the loop. DONATE the
+        # state argument — without donation the program holds BOTH the input
+        # state and the loop carry (each ~params+opt_state), which OOM'd the
+        # round-4 run at batch 8 (16.70 G > 15.75 G HBM); with donation the
+        # carry aliases the input in place and the footprint is one copy.
         def make(n):
-            @jax.jit
             def run(st, bt, r):
                 def f(i, stc):
                     new, _ = train_step(stc, bt, r)
                     return new
                 return jax.lax.fori_loop(0, n, f, st)
-            return run
+            return jax.jit(run, donate_argnums=0)
+
+        # chain the donation: each call consumes the previous state; the
+        # step time does not depend on the state values
+        st = {"v": state}
 
         def t_of(n):
             fn = make(n)
-            out = fn(state, batch, rng)
-            _ = float(out.step)  # warm + force
+            st["v"] = fn(st["v"], batch, rng)
+            _ = float(st["v"].step)  # warm + force
             ts = []
             for _i in range(opt.repeats):
                 t0 = time.perf_counter()
-                out = fn(state, batch, rng)
-                _ = float(out.step)
+                st["v"] = fn(st["v"], batch, rng)
+                _ = float(st["v"].step)
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts))
 

@@ -135,6 +135,11 @@ def main() -> None:
         stride = opt.tile_stride or max(opt.tile_ks // 2, 1)
         tiling = TilingSpec(ks=(opt.tile_ks, opt.tile_ks),
                             stride=(stride, stride))
+    elif opt.tile_stride:
+        raise SystemExit(
+            "--tile_stride has no effect without --tile_ks (tiling stays "
+            "off and the stride would be silently ignored); pass --tile_ks "
+            "to enable tiled inference")
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
                                 quantize=opt.quantize, tiling=tiling)
 

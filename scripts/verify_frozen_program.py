@@ -2,9 +2,19 @@
 
 Exports the full v1-geometry 50-step 512^2 edit program, then runs it in
 a MODEL-CODE-FREE subprocess (imports jax + pbe_tpu.export_runtime only
-— the deployment-host footprint) against the same inputs, and asserts
-bitwise equality with the live pipeline. Records artifact size, export
-time, subprocess first-call (compile or cache-load) and warm-call times.
+— the deployment-host footprint) against the same inputs, and checks
+equivalence with the live pipeline. Records artifact size, export time,
+subprocess first-call (compile or cache-load) and warm-call times.
+
+Equality criterion (decided round 5, after round 4 disproved "bitwise"):
+the StableHLO serialize->deserialize->recompile round trip does not
+guarantee the same XLA fusion choices as the live jit, and different
+fusion order changes bf16 rounding; over 50 sampler steps that drift
+reached max|diff| 0.0098 (~2.5/255 of the [0,1] output) at v1 geometry.
+The deployment criterion is therefore: PASS iff max|diff| <= --tol
+(default 0.02 ~= 5/255, i.e. every pixel within ~5 uint8 levels), with
+the bitwise flag still reported for the record. Outputs being float01,
+we also report the max difference in uint8 levels after rounding.
 
     python scripts/verify_frozen_program.py --outdir /tmp/frozen_v1 \
         [--H 512 --W 512 --steps 50] [--quantize int8]
@@ -38,7 +48,13 @@ assert not banned, f"model stack leaked into the serving host: {banned}"
 
 outdir = sys.argv[1]
 fn = rt.load_edit_program_file(os.path.join(outdir, "edit.stablehlo"))
+# to_device=True (the default) pays the ~GB-scale params H2D exactly once
+# here — passing numpy leaves instead re-uploads per call (round-4 bug:
+# warm call 176 s vs the live pipeline's ~1 s)
+t0 = time.perf_counter()
 variables = rt.load_params_npz(os.path.join(outdir, "params.npz"))
+jax.block_until_ready(variables)
+params_load_s = time.perf_counter() - t0
 d = np.load(os.path.join(outdir, "inputs.npz"))
 # the frozen dtypes (e.g. bfloat16) come from the program itself — the
 # last 6 flat avals are image/mask/ref/x_T/scale/rng
@@ -58,7 +74,8 @@ out2 = np.asarray(fn(*args))
 warm_s = time.perf_counter() - t0
 assert np.array_equal(out, out2), "frozen program is nondeterministic"
 np.save(os.path.join(outdir, "frozen_out.npy"), out)
-print(json.dumps({"first_call_s": round(first_s, 3),
+print(json.dumps({"params_load_s": round(params_load_s, 3),
+                  "first_call_s": round(first_s, 3),
                   "warm_call_s": round(warm_s, 3)}))
 """
 
@@ -77,6 +94,10 @@ def main() -> None:
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=9)
     p.add_argument("--quantize", choices=["int8"], default=None)
+    p.add_argument("--tol", type=float, default=0.02,
+                   help="max|diff| tolerance in the [0,1] output space "
+                        "(~5 uint8 levels); see module docstring for why "
+                        "bitwise is not the criterion")
     p.add_argument("--det_first_stage", type=int, default=1,
                    help="0 samples the VAE posterior from the seed instead "
                         "of taking its mode — same program variant as "
@@ -139,11 +160,21 @@ def main() -> None:
         raise SystemExit("model-code-free runner failed")
     timings = json.loads(r2.stdout.strip().splitlines()[-1])
     got = np.load(os.path.join(opt.outdir, "frozen_out.npy"))
-    bitwise = bool(np.array_equal(got, np.asarray(want)))
+    want = np.asarray(want, np.float64)
+    bitwise = bool(np.array_equal(got, want))
+    diff = np.abs(got.astype(np.float64) - want)
+    max_diff = float(diff.max())
+    u8_levels = int(np.abs(
+        np.rint(got.astype(np.float64) * 255) - np.rint(want * 255)
+    ).max())
+    ok = bitwise or max_diff <= opt.tol
     row = {
         "H": H, "W": W, "steps": opt.steps, "batch": b,
         "quantize": opt.quantize, "det_first_stage": det,
+        "pass": ok, "tol": opt.tol,
         "bitwise_equal_to_live": bitwise,
+        "max_abs_diff": round(max_diff, 6),
+        "uint8_maxdiff_levels": u8_levels,
         "program_mb": round(len(blob) / 1e6, 2),
         "params_mb": round(os.path.getsize(
             os.path.join(opt.outdir, "params.npz")) / 1e6, 1),
@@ -152,9 +183,8 @@ def main() -> None:
         **timings,
     }
     print(json.dumps(row))
-    if not bitwise:
-        d = np.abs(got.astype(np.float64) - np.asarray(want, np.float64))
-        print(f"max|diff| = {d.max()}", file=sys.stderr)
+    if not ok:
+        print(f"max|diff| = {max_diff} > tol {opt.tol}", file=sys.stderr)
         raise SystemExit(1)
 
 

@@ -163,6 +163,13 @@ def main() -> None:
     if not opt.skip_metrics:
         for arm, _ in arms:
             results = results_by_arm[arm]
+            if not os.path.isdir(results):
+                # e.g. --skip_bench over an outdir whose int8 arm never ran
+                # (pre-A/B outdirs, or a prior --skip_int8 run): skip
+                # cleanly instead of failing inside eval_fid
+                print(f"== step 4 ({arm}) SKIPPED (no results at "
+                      f"{results}) ==", flush=True)
+                continue
             print(f"== step 4 ({arm}): metrics ==", flush=True)
             fid_cmd = [py, "scripts/eval_fid.py",
                        os.path.join(opt.test_bench_dir, "GT_3500"), results]

@@ -188,3 +188,49 @@ def test_dataloader_batches(openimages_dir):
     b = batches[0]
     assert b["image"].shape == (2, 32, 32, 3)
     assert b["ref"].shape == (2, 224, 224, 3)
+
+
+def test_openimages_uint8_mode_matches_float(openimages_dir):
+    """uint8=True must be the float pipeline in a cheaper wire format:
+    host-unpacking it reproduces the float-mode sample exactly (same rng
+    stream, same crop, same mask, same exemplar)."""
+    from pbe_tpu.data.transforms import unpack_uint8_batch
+
+    ds_f = OpenImagesDataset(str(openimages_dir), state="train", image_size=64)
+    ds_u = OpenImagesDataset(str(openimages_dir), state="train", image_size=64,
+                             uint8=True)
+    for i in range(len(ds_f)):
+        exf = ds_f[i]
+        exu = ds_u[i]
+        assert set(exu) == {"image", "mask", "ref"}
+        assert all(v.dtype == np.uint8 for v in exu.values())
+        assert exu["mask"].shape == (64, 64, 1)
+        un = unpack_uint8_batch(dict(exu))
+        np.testing.assert_array_equal(un["image"], exf["image"])
+        np.testing.assert_array_equal(un["mask"], exf["mask"])
+        np.testing.assert_array_equal(un["inpaint_image"], exf["inpaint_image"])
+        np.testing.assert_array_equal(un["ref"], exf["ref"])
+
+
+def test_geometry_raster_matches_training_mask():
+    """rasterize_geometry at full res must agree with the classic raster
+    (bbox arm bit-exact; blob arm up to polygon-edge pixels)."""
+    from pbe_tpu.data.masks import (
+        mask_geometry,
+        rasterize_geometry,
+        training_mask,
+    )
+
+    h, w = 96, 128
+    bbox = (20.0, 20.0, 80.0, 70.0)
+    for seed in range(6):
+        g1 = np.random.default_rng(seed)
+        g2 = np.random.default_rng(seed)
+        m = training_mask(h, w, bbox, g1, 0.5)
+        geom = mask_geometry(h, w, bbox, g2, 0.5)
+        r = (rasterize_geometry(geom, h, w) > 127).astype(np.float32)[..., None]
+        if geom[0] == "bbox":
+            np.testing.assert_array_equal(r, m)
+        else:
+            # edge-pixel tolerance: disagreement confined to a thin band
+            assert np.abs(r - m).mean() < 0.02, (seed, np.abs(r - m).mean())

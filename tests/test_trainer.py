@@ -135,3 +135,23 @@ def test_fit_samples_images_and_fid(tmp_path):
     assert fid_rows, "val/fid_* not logged to the JSONL stream"
     for k in ("val/fid_global", "val/fid_local", "val/fid_ref"):
         assert np.isfinite(fid_rows[-1][k])
+
+
+def test_pad_ragged_pads_and_weights():
+    from pbe_tpu.training.trainer import Trainer
+
+    g = np.random.default_rng(0)
+    arrays = {"image": g.uniform(size=(3, 8, 8, 3)).astype(np.float32),
+              "mask": np.ones((3, 8, 8, 1), np.float32)}
+    out = Trainer._pad_ragged(dict(arrays), 8)
+    assert out["image"].shape[0] == 8
+    np.testing.assert_array_equal(out["image"][:3], arrays["image"])
+    # padding repeats the last row
+    np.testing.assert_array_equal(out["image"][3], arrays["image"][2])
+    np.testing.assert_array_equal(
+        out["weight"], np.array([1, 1, 1, 0, 0, 0, 0, 0], np.float32))
+    # divisible batches still get an (all-ones) weight so the jit signature
+    # is stable across full and ragged batches
+    full = Trainer._pad_ragged({"image": arrays["image"][:2]}, 2)
+    assert full["image"].shape[0] == 2
+    np.testing.assert_array_equal(full["weight"], np.ones(2, np.float32))

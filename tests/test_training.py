@@ -474,3 +474,68 @@ def test_multislice_mesh_rejects_ragged():
 
     with pytest.raises(ValueError, match="slices"):
         make_multislice_mesh(num_slices=3)
+
+
+def test_uint8_batch_matches_float_loss(model_and_vars):
+    """The uint8 transfer format must reproduce the float pipeline's loss
+    bit-exactly (device normalize == host normalize: both compute u8/255
+    in float32)."""
+    from pbe_tpu.data.transforms import unpack_uint8_batch
+    from pbe_tpu.training.train_step import make_loss_fn
+
+    model, variables = model_and_vars
+    train, frozen = split_params(variables["params"])
+    g = np.random.default_rng(3)
+    b, h = 4, 16
+    ub_np = {
+        "image": g.integers(0, 256, (b, h, h, 3)).astype(np.uint8),
+        "mask": np.where(g.uniform(size=(b, h, h, 1)) < 0.3, 0, 255
+                         ).astype(np.uint8),
+        "ref": g.integers(0, 256, (b, 16, 16, 3)).astype(np.uint8),
+    }
+    fb = unpack_uint8_batch(dict(ub_np))
+    assert fb["image"].dtype == np.float32
+    assert set(fb) == {"image", "inpaint_image", "mask", "ref"}
+
+    loss_fn = make_loss_fn(model)
+    rng = jax.random.PRNGKey(1)
+    l_u, m_u = loss_fn(train, frozen,
+                       {k: jnp.asarray(v) for k, v in ub_np.items()}, rng)
+    l_f, m_f = loss_fn(train, frozen,
+                       {k: jnp.asarray(v) for k, v in fb.items()}, rng)
+    np.testing.assert_array_equal(np.asarray(l_u), np.asarray(l_f))
+    for k in m_u:
+        np.testing.assert_array_equal(np.asarray(m_u[k]), np.asarray(m_f[k]))
+
+
+def test_zero_weight_rows_do_not_affect_loss(model_and_vars):
+    """Padding correctness: rows with weight 0 (Trainer._pad_ragged) must
+    not influence the loss or gradients, whatever garbage they hold."""
+    from pbe_tpu.training.train_step import make_loss_fn
+
+    model, variables = model_and_vars
+    train, frozen = split_params(variables["params"])
+    loss_fn = make_loss_fn(model)
+    rng = jax.random.PRNGKey(2)
+
+    batch = _batch(b=4)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    a = dict(batch, weight=w)
+    # replace the zero-weighted rows with garbage
+    garbage = {
+        k: jnp.concatenate([v[:2], -v[2:] * 3.0 + 0.7], axis=0)
+        for k, v in batch.items()
+    }
+    b2 = dict(garbage, weight=w)
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        train, frozen, a, rng)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        train, frozen, b2, rng)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for x, y in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # all-ones weight == no weight key at all
+    l3, _ = loss_fn(train, frozen, dict(batch, weight=jnp.ones(4)), rng)
+    l4, _ = loss_fn(train, frozen, batch, rng)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l4))
