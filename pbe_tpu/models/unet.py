@@ -151,14 +151,17 @@ class CrossAttention(nn.Module):
             # Single-token exemplar conditioning: softmax over 1 key == 1, so
             # the output is independent of q and k. to_q/to_k are not even
             # instantiated (their gradient is exactly zero in the reference
-            # too); the checkpoint converter drops those keys.
+            # too); the checkpoint converter drops those keys. to_out runs on
+            # the 1 token and the RESULT broadcasts (identical rows through
+            # the same dense — equal by row independence of the matmul),
+            # instead of a dense over N identical rows.
             v = _dense(inner, self.dtype, "to_v", use_bias=False)(ctx)
-            out = single_token_attention(v, x.shape[1])
-        else:
-            q = _dense(inner, self.dtype, "to_q", use_bias=False)(x)
-            k = _dense(inner, self.dtype, "to_k", use_bias=False)(ctx)
-            v = _dense(inner, self.dtype, "to_v", use_bias=False)(ctx)
-            out = multi_head_attention(q, k, v, self.heads, impl=self.attn_impl)
+            out = _dense(query_dim, self.dtype, "to_out_0")(v)
+            return single_token_attention(out, x.shape[1])
+        q = _dense(inner, self.dtype, "to_q", use_bias=False)(x)
+        k = _dense(inner, self.dtype, "to_k", use_bias=False)(ctx)
+        v = _dense(inner, self.dtype, "to_v", use_bias=False)(ctx)
+        out = multi_head_attention(q, k, v, self.heads, impl=self.attn_impl)
         return _dense(query_dim, self.dtype, "to_out_0")(out)
 
 

@@ -36,9 +36,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--geoms", nargs="*", default=["ds8", "ds4"])
     p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--lo", type=int, default=1)
-    p.add_argument("--hi", type=int, default=8)
+    # chain lengths sized so (t_hi - t_lo) >> tunnel jitter (the round-4
+    # 1-vs-8 defaults produced a ~0.4 ms delta at these <150 µs bodies —
+    # below the noise floor; negative marginals and util 7.6e10 followed,
+    # benchmarks/ds8_conv_r4.jsonl / VERDICT r4 weak #8)
+    p.add_argument("--repeats", type=int, default=7)
+    p.add_argument("--lo", type=int, default=64)
+    p.add_argument("--hi", type=int, default=512)
     p.add_argument("--peak_tflops", type=float, default=197.0)
     opt = p.parse_args()
 
@@ -114,14 +118,19 @@ def main() -> None:
                     float(jnp.mean(run(x)))
                     ts.append(time.perf_counter() - t0)
                 times[k] = float(np.median(ts))
-            marg_us = (times[opt.hi] - times[opt.lo]) / (opt.hi - opt.lo) * 1e6
-            print(json.dumps({
+            delta = times[opt.hi] - times[opt.lo]
+            marg_us = delta / (opt.hi - opt.lo) * 1e6
+            row = {
                 "geom": geom, "impl": name,
                 "marginal_us": round(marg_us, 1),
                 "ideal_us": round(ideal_us, 1),
                 "util": round(ideal_us / max(marg_us, 1e-9), 3),
                 "rel_err_vs_lax": round(err, 6),
-            }), flush=True)
+                "delta_ms": round(delta * 1e3, 2),
+            }
+            if delta < 5e-3:
+                row["warning"] = "delta below 5 ms — unreliable; raise --hi"
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

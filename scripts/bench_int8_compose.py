@@ -31,9 +31,14 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--geom", nargs="*", default=["ds1", "ds2"])
     p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--lo", type=int, default=8)
-    p.add_argument("--hi", type=int, default=40)
+    # chain lengths sized so (t_hi - t_lo) >> tunnel jitter: at ~50-300 µs
+    # per body, 448 extra applications = 22-134 ms of signal against the
+    # few-ms run-to-run noise. The round-4 defaults (8 vs 40 -> 32 bodies
+    # ~ 3 ms) were below the noise floor and produced negative marginals
+    # (benchmarks/int8_compose_r4.jsonl; VERDICT r4 weak #8).
+    p.add_argument("--repeats", type=int, default=7)
+    p.add_argument("--lo", type=int, default=64)
+    p.add_argument("--hi", type=int, default=512)
     opt = p.parse_args()
 
     import jax
@@ -99,7 +104,13 @@ def main() -> None:
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts))
 
-        return (t_of(opt.hi) - t_of(opt.lo)) / (opt.hi - opt.lo)
+        delta = t_of(opt.hi) - t_of(opt.lo)
+        if delta < 5e-3:
+            print(json.dumps({"warning": "marginal delta below 5 ms — "
+                              "unreliable; raise --hi",
+                              "delta_ms": round(delta * 1e3, 2)}),
+                  file=sys.stderr, flush=True)
+        return delta / (opt.hi - opt.lo)
 
     rng = jax.random.PRNGKey(0)
     for geom in opt.geom:

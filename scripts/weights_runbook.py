@@ -20,6 +20,9 @@ Steps (each logged, each skippable with --skip_*):
   2. golden   — fixed-seed (321) 50-step PLMS edit of reference
                example_1; writes PNG + sha256 next to the results (the
                committed test golden, tests/test_golden_examples.py:122).
+  2b. frozen  — export the full edit program + verify the model-code-free
+               replay against the live pipeline (deployment parity with
+               the real weights; scripts/verify_frozen_program.py).
   3. bench    — full test-bench inference (README.md:116-166 command
                equivalent) via scripts/inference_test_bench.py; repeated
                with --quantize int8 (step 3b) so serving quality is A/B'd
@@ -81,6 +84,8 @@ def main() -> None:
     p.add_argument("--skip_metrics", action="store_true")
     p.add_argument("--skip_int8", action="store_true",
                    help="skip the int8-vs-fp quality A/B (step 3b/4b)")
+    p.add_argument("--skip_frozen", action="store_true",
+                   help="skip the frozen-program export+verify (step 2b)")
     opt = p.parse_args()
 
     os.makedirs(opt.outdir, exist_ok=True)
@@ -134,6 +139,25 @@ def main() -> None:
                         f.write(f"{fn} {digest}\n")
     else:
         print(f"== step 2 SKIPPED ({examples} not present) ==")
+
+    # 2b. frozen-program deployment parity ----------------------------------
+    # export + model-code-free replay of the full edit with THESE weights;
+    # passes on max|diff| <= tol (see verify_frozen_program.py for why the
+    # AOT path is not held to bitwise). Weights-day produces the deployment
+    # artifact and its parity evidence in the same run.
+    if not opt.skip_frozen:
+        print("== step 2b: frozen-program verification ==", flush=True)
+        cmd = [py, "scripts/verify_frozen_program.py",
+               "--outdir", os.path.join(opt.outdir, "frozen"),
+               "--config", opt.config]
+        if opt.dry_run:
+            cmd += ["--H", str(opt.bench_size), "--W", str(opt.bench_size),
+                    "--steps", "2"]
+        if opt.ckpt:
+            cmd += ["--ckpt", opt.ckpt]
+        run(cmd, log)
+    else:
+        print("== step 2b SKIPPED (--skip_frozen) ==")
 
     # 3/3b. full test-bench inference (fp, then the int8 A/B arm) ----------
     # the A/B answers "is --quantize int8 safe to serve with?" the moment
