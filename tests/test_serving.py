@@ -344,3 +344,32 @@ def test_admission_queue_full_rejects_fast():
     st = srv.stats()
     srv.close()
     assert st["rejected"] == 1
+
+
+def test_open_loop_bench_shaping_smoke():
+    """Subprocess regression of scripts/bench_serving.py --arrival_rate:
+    overload a deliberately slow tiny server with shaping on; the run must
+    finish, shed load (rejected+expired > 0), and emit the JSON record."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": root + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, "scripts/bench_serving.py",
+         "--config", "configs/tiny.yaml", "--H", "64", "--W", "64",
+         "--ddim_steps", "2", "--warmup",
+         "--arrival_rate", "40", "--duration_s", "2",
+         "--deadline_s", "1", "--queue_depth", "4"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["shaping"] is True
+    assert row["submitted"] > row["completed"]
+    assert row["rejected_at_submit"] + row["expired"] > 0
+    # every submitted request is accounted for exactly once
+    assert (row["completed"] + row["rejected_at_submit"] + row["expired"]
+            + row.get("errors", 0) == row["submitted"])
