@@ -135,7 +135,7 @@ def training_mask(
 # -- geometry-first variants (crop-first fast path) --------------------------
 # The full-resolution rasterize->crop->resize pipeline costs ~2 full-image
 # float passes per sample; on this 1-core host that dominated __getitem__
-# (~230 of 271 ms, benchmarks/input_pipeline_r5.jsonl). These variants defer
+# (~230 of 271 ms, benchmarks/input_pipeline_oldgetitem_r5.jsonl). These variants defer
 # rasterization: generate the mask GEOMETRY in image coordinates, then draw
 # it once directly in the output (cropped+resized) frame.
 

@@ -67,7 +67,7 @@ class OpenImagesDataset:
         keep, no 'inpaint_image' — it is image*mask, computed on device by
         train_step). This cuts the per-step H2D transfer ~6.7x (63.5 -> 9.5
         MB at batch 8), which matters enormously here: the axon tunnel
-        moves ~0.04 GB/s (benchmarks/input_pipeline_r5.jsonl), so float32
+        moves ~0.04 GB/s (benchmarks/input_pipeline_oldgetitem_r5.jsonl), so float32
         batches alone cost 1.7 s/step against a 0.588 s device step."""
         self.dataset_dir = Path(dataset_dir)
         self.state = state
@@ -103,7 +103,7 @@ class OpenImagesDataset:
         # Crop-first, uint8-first: the former full-res rasterize -> float
         # convert -> mask-multiply -> crop -> 3x float/PIL resize round trip
         # cost ~270 ms/image on this 1-core host (~230 ms of it AFTER the
-        # 17-26 ms decode; benchmarks/input_pipeline_r5.jsonl). Here the
+        # 17-26 ms decode; benchmarks/input_pipeline_oldgetitem_r5.jsonl). Here the
         # mask is generated as GEOMETRY, the crop window is computed from
         # that geometry, the image is cropped+resized once in uint8 (PIL
         # resize(box=...)), and the mask is rasterized directly in the
