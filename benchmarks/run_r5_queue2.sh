@@ -17,3 +17,12 @@ echo "== q2 job2 sweep-b1 rc=$? =="
 timeout 2400 python scripts/bench_sweep.py --batch 8 --steps 50 --samplers plms \
   > $B/sweep_fp_b8_r5.jsonl 2> $B/sweep_fp_b8_r5.log
 echo "== q2 job3 sweep-b8 rc=$? =="
+
+# 4. calibrated static-scale int8 UNet attribution (PERF §8's named
+#    candidate fix: constant-scale quantize/rescale, no runtime amax)
+timeout 3000 python scripts/bench_int8_unet.py --batch 2 \
+  > $B/int8_unet_static_b2_r5.jsonl 2> $B/int8_unet_static_b2_r5.log
+echo "== q2 job4 int8-static-b2 rc=$? =="
+timeout 3000 python scripts/bench_int8_unet.py --batch 16 --lo 5 --hi 15 \
+  > $B/int8_unet_static_b16_r5.jsonl 2> $B/int8_unet_static_b16_r5.log
+echo "== q2 job5 int8-static-b16 rc=$? =="

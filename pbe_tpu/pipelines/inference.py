@@ -31,12 +31,19 @@ class EditPipeline:
     """Holds (model, variables) and a cache of compiled edit functions."""
 
     def __init__(self, model: PaintByExample, variables: dict,
-                 quantize: str | None = None, tiling=None):
+                 quantize: str | None = None, tiling=None,
+                 quant_scales: tuple | None = None):
         self.model = model
         self.variables = variables
         # "int8": trace edit programs with w8a8 matmuls/convs in the UNet
         # (ops/quant.py) — opt-in serving mode, ~2x on the eligible convs
         self.quantize = quantize
+        # calibrated static scales (standard PTQ deployment): tuple from
+        # calibrate_int8() — quantize/rescale become constant-scale
+        # elementwise ops, no runtime amax (PERF.md §8)
+        if quant_scales is not None and quantize != "int8":
+            raise ValueError("quant_scales requires quantize='int8'")
+        self.quant_scales = quant_scales
         # tiling: optional ops.tiling.TilingSpec (LATENT-space ks/stride) —
         # the reference's split_input_params path (latent_diffusion.py:
         # 656-736): every UNet eps call runs over overlapping latent crops
@@ -189,7 +196,7 @@ class EditPipeline:
         # pipeline-level modes _build reads from self, so appending a new
         # key element can never silently shift what _build receives
         build_args = (steps, sampler, eta, cfg, paste, det_first_stage, out)
-        key = build_args + (self.quantize, self.tiling)
+        key = build_args + (self.quantize, self.quant_scales, self.tiling)
         if key not in self._fns:
             self._fns[key] = self._build(*build_args)
         return self._fns[key]
@@ -264,7 +271,8 @@ class EditPipeline:
             args = [jax.device_put(a, self._batch_sharding) for a in args]
         from pbe_tpu.ops import quant
 
-        with quant.quantized(self.quantize):
+        qkw = {"static": self.quant_scales} if self.quant_scales else {}
+        with quant.quantized(self.quantize, **qkw):
             # the context matters only while jit traces (first call per
             # config); compiled executions are unaffected by it
             out = fn(
@@ -278,3 +286,63 @@ class EditPipeline:
         """Single-example convenience; HWC in, HWC out."""
         out = self.edit_batch(image[None], mask[None], ref[None], **kw)
         return out[0]
+
+    def calibrate_int8(self, image, mask, ref, n_t: int = 8,
+                       seed: int = 0) -> tuple:
+        """Calibrate static w8a8 scales (standard post-training
+        quantization) on representative edit inputs.
+
+        Records per-op activation/weight amax of the CFG-doubled UNet
+        call at ``n_t`` timesteps spread across the schedule, with x_t
+        drawn from the forward process q(x_t | z0) around the encoded
+        source image — the same input statistics the sampler's eps calls
+        see (latent assembly per latent_diffusion.py:383-390). Returns
+        the static-scales tuple for ``EditPipeline(quantize="int8",
+        quant_scales=...)``; scales are input-independent at serve time,
+        so batch invariance is trivial and no runtime amax reduction is
+        traced (PERF.md §8). Inputs: NHWC arrays shaped like a serving
+        batch (scale values track amax maxima, so a handful of examples
+        suffices)."""
+        from pbe_tpu.ops import quant
+
+        model = self.model
+        sched = model.schedule
+        sqrt_a = jnp.asarray(sched.sqrt_alphas_cumprod, jnp.float32)
+        sqrt_1ma = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod,
+                               jnp.float32)
+
+        @jax.jit
+        def calib(variables, image, mask, ref, t, rng):
+            r_enc, r_noise = jax.random.split(rng)
+            z, z_inpaint, m = model.apply(
+                variables, image, image * mask, mask, r_enc,
+                method=PaintByExample.prepare_latents)
+            c = model.apply(variables, ref,
+                            method=PaintByExample.get_conditioning)
+            uc = model.apply(variables, image.shape[0],
+                             method=PaintByExample.uncond_vector)
+            ctx2 = jnp.concatenate([uc.astype(c.dtype), c], axis=0)
+            noise = jax.random.normal(r_noise, z.shape, z.dtype)
+            a = sqrt_a[t].astype(z.dtype)
+            s = sqrt_1ma[t].astype(z.dtype)
+            x_t = a * z + s * noise
+            x9 = jnp.concatenate([x_t, z_inpaint, m], axis=-1)
+            x18 = jnp.concatenate([x9, x9], axis=0)
+            t2 = jnp.full((x18.shape[0],), t, jnp.float32)
+            with quant.calibration() as col:
+                model.apply(variables, x18, t2, ctx2,
+                            method=PaintByExample.apply_model)
+            return col.records
+
+        n_steps = len(sched.alphas_cumprod)
+        image = jnp.asarray(image, self.model.dtype)
+        mask = jnp.asarray(mask, self.model.dtype)
+        ref = jnp.asarray(ref, self.model.dtype)
+        recs = []
+        for i, t in enumerate(
+                np.linspace(0, n_steps - 1, n_t).round().astype(np.int32)):
+            r = calib(self.variables, image, mask, ref,
+                      jnp.asarray(t, jnp.int32),
+                      jax.random.PRNGKey(seed + i))
+            recs.append(jax.tree_util.tree_map(np.asarray, r))
+        return quant.scales_from_records(recs)

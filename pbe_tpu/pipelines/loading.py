@@ -153,11 +153,14 @@ def load_pipeline(
     verbose: bool = True,
     quantize: str | None = None,
     tiling=None,
+    quant_scales: tuple | None = None,
 ) -> tuple[EditPipeline, dict]:
     """Build model from YAML (+ optional torch ckpt) -> (pipeline, raw_cfg).
 
     quantize="int8": serve with w8a8 UNet matmuls/convs (ops/quant.py) —
     opt-in; weights stay fp32, quantization happens in-program.
+    quant_scales: calibrated static scales (EditPipeline.calibrate_int8)
+    — constant-scale PTQ execution, no runtime amax (PERF.md §8).
     tiling: optional ops.tiling.TilingSpec — run every UNet eps call over
     latent crops (reference split_input_params, latent_diffusion.py:656-736);
     PERF.md §6 says when (if ever) this is worth it."""
@@ -178,4 +181,4 @@ def load_pipeline(
     if verbose:
         print(f"model parameters: {count_params(variables) / 1e6:.1f}M")
     return EditPipeline(model, variables, quantize=quantize,
-                        tiling=tiling), raw
+                        tiling=tiling, quant_scales=quant_scales), raw

@@ -14,6 +14,11 @@ body) per quantization variant to locate the regression:
     int8-pertensor  convs+dense, per-tensor scales (the r3 probe scheme)
     int8-convs      convs only, per-row
     int8-dense      dense only, per-row
+    int8-static     convs+dense, CALIBRATED constant scales (no runtime
+                    amax: quantize/rescale are constant-scale elementwise
+                    ops XLA can fuse — the PTQ deployment shape PERF §8
+                    names as the candidate fix for the in-graph regression)
+    int8-static-convs  convs only, calibrated constant scales
 
 Usage: python scripts/bench_int8_unet.py [--batch 2] [--latent 64]
 Prints one JSON line per variant (marginal per-call microseconds).
@@ -84,12 +89,30 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
+    def calibrate(convs=True, dense=True):
+        # one-batch calibration on the bench input itself (scale VALUES
+        # don't affect timing; only their constancy does)
+        @jax.jit
+        def calib(variables, x9, t, ctx_in):
+            with quant.calibration(convs=convs, dense=dense) as col:
+                eps = model.apply(variables, x9, t, ctx_in,
+                                  method=PaintByExample.apply_model)
+            return eps, col.records
+        _, recs = calib(variables, x9, t, ctx)
+        recs = jax.tree_util.tree_map(np.asarray, recs)
+        return quant.scales_from_records([recs])
+
+    scales = calibrate()
+    scales_convs = calibrate(dense=False)
     variants = [
         ("bf16", None, {}),
         ("int8", "int8", {}),
         ("int8-pertensor", "int8", {"per_row": False}),
         ("int8-convs", "int8", {"dense": False}),
         ("int8-dense", "int8", {"convs": False}),
+        ("int8-static", "int8", {"static": scales}),
+        ("int8-static-convs", "int8",
+         {"dense": False, "static": scales_convs}),
     ]
     base_us = None
     for name, mode, kw in variants:

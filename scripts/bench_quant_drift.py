@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--unet_channels", type=int, default=0,
                    help="override UNet model_channels (CPU smoke runs)")
     p.add_argument("--attn", default="pallas")
+    p.add_argument("--variant", choices=["int8", "int8-static"],
+                   default="int8",
+                   help="int8-static: calibrated constant scales "
+                        "(EditPipeline.calibrate_int8) instead of per-row "
+                        "runtime amax")
     opt = p.parse_args()
 
     import jax
@@ -67,7 +72,6 @@ def main() -> None:
         f"drift measurement would be vacuous")
     print(f"eps_rms_probe = {eps_rms:.4f}", file=sys.stderr)
     fp = EditPipeline(model, variables)
-    q = EditPipeline(model, variables, quantize="int8")
 
     g = np.random.default_rng(opt.seed)
     b, H, W = opt.batch, opt.H, opt.W
@@ -78,6 +82,13 @@ def main() -> None:
     ref = g.standard_normal((b, r, r, 3)).astype(np.float32)
     f = model.latent_downsample
     x_T = g.standard_normal((b, H // f, W // f, 4)).astype(np.float32)
+
+    scales = None
+    if opt.variant == "int8-static":
+        scales = EditPipeline(model, variables, quantize="int8") \
+            .calibrate_int8(image, mask, ref, seed=opt.seed)
+        print(f"calibrated {len(scales)} static op scales", file=sys.stderr)
+    q = EditPipeline(model, variables, quantize="int8", quant_scales=scales)
 
     # det_first_stage=False matches bench_sweep's program variant exactly
     # (the encode noise comes from the shared seed, so the comparison is

@@ -34,8 +34,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--scale", type=float, default=5.0)
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in)")
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in); "
+                        "int8-static = calibrated constant scales")
     p.add_argument("--precision", type=str, choices=["full", "autocast"],
                    default="autocast")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -155,8 +157,17 @@ def main() -> None:
     config = opt.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
+    qmode = "int8" if opt.quantize else None
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                verbose=False, quantize=opt.quantize)
+                                verbose=False, quantize=qmode)
+    if opt.quantize == "int8-static":
+        gq = np.random.default_rng(0)
+        ci = gq.uniform(-1, 1, (1, opt.H, opt.W, 3)).astype(np.float32)
+        cm = np.ones((1, opt.H, opt.W, 1), np.float32)
+        cm[:, opt.H // 4: 3 * opt.H // 4, opt.W // 4: 3 * opt.W // 4] = 0.0
+        r = pipeline.ref_size
+        cr = gq.standard_normal((1, r, r, 3)).astype(np.float32)
+        pipeline.quant_scales = pipeline.calibrate_int8(ci, cm, cr)
     if opt.data_parallel:
         pipeline = pipeline.shard()
     server = EditServer(

@@ -22,8 +22,10 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--attn", default="pallas")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="w8a8 UNet matmuls/convs (ops/quant.py)")
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py); int8-static"
+                        " = calibrated constant scales, no runtime amax")
     opt = p.parse_args()
 
     import jax
@@ -36,7 +38,7 @@ def main() -> None:
 
     model = PaintByExampleConfig().build(dtype=jnp.bfloat16, attn_impl=opt.attn)
     variables = init_variables(model, seed=0, )
-    pipeline = EditPipeline(model, variables, quantize=opt.quantize)
+    qmode = "int8" if opt.quantize else None
 
     k = jax.random.PRNGKey(0)
     b = opt.batch
@@ -48,13 +50,24 @@ def main() -> None:
     rng = jax.random.PRNGKey(321)
     scale = jnp.asarray(5.0, jnp.float32)
 
+    scales = None
+    if opt.quantize == "int8-static":
+        # calibrate on the bench input itself (PTQ deployment shape);
+        # the serving programs then carry constant quantize/rescale only
+        scales = EditPipeline(model, variables, quantize="int8") \
+            .calibrate_int8(image, mask, ref, n_t=4)
+        print(f"calibrated {len(scales)} static op scales", file=sys.stderr)
+    pipeline = EditPipeline(model, variables, quantize=qmode,
+                            quant_scales=scales)
+
     rows = []
     for sampler in opt.samplers:
         for steps in opt.steps:
             fn = pipeline._fn(steps, sampler, 0.0, True)
             args = (pipeline.variables, image, mask, ref, x_T, scale, rng)
             from pbe_tpu.ops import quant
-            with quant.quantized(opt.quantize):  # trace happens here
+            qkw = {"static": scales} if scales else {}
+            with quant.quantized(qmode, **qkw):  # trace happens here
                 out = fn(*args)
             _ = float(jnp.mean(out))
             ts = []
@@ -63,7 +76,7 @@ def main() -> None:
                 # keep the context active so a mid-loop retrace (cache
                 # eviction, weak-type drift) can't silently time the fp
                 # program under an int8 label — free post-compilation
-                with quant.quantized(opt.quantize):
+                with quant.quantized(qmode, **qkw):
                     out = fn(*args)
                 _ = float(jnp.mean(out))
                 ts.append(time.perf_counter() - t0)

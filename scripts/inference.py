@@ -90,10 +90,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "weights (torch .bin/.ckpt or .safetensors); when "
                         "set, every result is screened (reference "
                         "scripts/inference.py:28-30,97-100)")
-    p.add_argument("--quantize", choices=["int8"], default=None,
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
                    help="w8a8 int8 UNet execution (ops/quant.py) — opt-in; "
                         "output differs from fp by the PTQ rounding error "
-                        "(bench_quant_drift.py bounds it)")
+                        "(bench_quant_drift.py bounds it). int8-static "
+                        "calibrates constant scales on THIS edit's inputs "
+                        "first (no runtime amax in the program)")
     p.add_argument("--tile_ks", type=int, default=0,
                    help="latent tile size: run the UNet over ks-side latent "
                         "crops stitched with border weighting (reference "
@@ -140,8 +143,9 @@ def main() -> None:
             "--tile_stride has no effect without --tile_ks (tiling stays "
             "off and the stride would be silently ignored); pass --tile_ks "
             "to enable tiled inference")
+    qmode = "int8" if opt.quantize else None
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                quantize=opt.quantize, tiling=tiling)
+                                quantize=qmode, tiling=tiling)
 
     safety = None
     if opt.safety_ckpt:
@@ -175,6 +179,14 @@ def main() -> None:
                 jax.random.PRNGKey(opt.seed), (b, opt.H // opt.f, opt.W // opt.f, opt.C)
             )
         )
+
+    if opt.quantize == "int8-static":
+        # calibrate constant PTQ scales on this edit's own inputs — the
+        # serving programs then carry no runtime amax (PERF.md §8)
+        pipeline.quant_scales = pipeline.calibrate_int8(
+            images[:1], masks[:1], refs[:1], seed=opt.seed)
+        print(f"calibrated {len(pipeline.quant_scales)} static int8 "
+              "op scales on the edit inputs")
 
     inpaint = T.unnormalize(images * masks)
     src01 = T.unnormalize(images)

@@ -41,11 +41,14 @@ def main() -> None:
     p.add_argument("--det_first_stage", action="store_true",
                    help="posterior-MODE masked-source latents "
                         "(batch-size-invariant; reference samples)")
-    p.add_argument("--quantize", choices=["int8"], default=None,
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
                    help="w8a8 int8 UNet execution — opt-in quality/speed "
                         "A/B knob; the ragged final batch compiles its own "
                         "bucket, whose int8 rounding may differ ~1e-2 from "
-                        "the full-batch program (tests/test_quant.py)")
+                        "the full-batch program (tests/test_quant.py). "
+                        "int8-static calibrates constant scales on the "
+                        "first test-bench example (no runtime amax)")
     opt = p.parse_args()
 
     import jax.numpy as jnp
@@ -60,12 +63,20 @@ def main() -> None:
     from pbe_tpu.utils.async_writer import AsyncWriter
 
     dtype = jnp.float32 if opt.precision == "full" else jnp.bfloat16
+    qmode = "int8" if opt.quantize else None
     pipeline, _ = load_pipeline(opt.config, opt.ckpt or None, dtype=dtype,
-                                quantize=opt.quantize)
-    if opt.data_parallel:
-        pipeline.shard()
+                                quantize=qmode)
 
     ds = COCOEEDataset(opt.test_bench_dir)
+    if opt.quantize == "int8-static":
+        ex = ds[0]  # real test-bench statistics for the PTQ scales
+        pipeline.quant_scales = pipeline.calibrate_int8(
+            ex["image"][None], ex["mask"][None], ex["ref"][None],
+            seed=opt.seed)
+        print(f"calibrated {len(pipeline.quant_scales)} static int8 op "
+              "scales on the first test-bench example", flush=True)
+    if opt.data_parallel:
+        pipeline.shard()
     if opt.limit:
         ds.ids = ds.ids[: opt.limit]
     dl = DataLoader(ds, opt.n_samples, shuffle=False, drop_last=False)

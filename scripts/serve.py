@@ -43,8 +43,16 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim", dest="plms", action="store_false")
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--paste_back", type=int, default=None, metavar="FEATHER")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in)")
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
+                   help="w8a8 UNet matmuls/convs (ops/quant.py, opt-in); "
+                        "int8-static calibrates constant scales at startup "
+                        "on a synthetic edit at the serving geometry (no "
+                        "runtime amax; point --calib_image/--calib_mask/"
+                        "--calib_ref at a real example for production PTQ)")
+    p.add_argument("--calib_image", type=str, default="")
+    p.add_argument("--calib_mask", type=str, default="")
+    p.add_argument("--calib_ref", type=str, default="")
     p.add_argument("--precision", type=str, choices=["full", "autocast"],
                    default="autocast")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8],
@@ -167,8 +175,29 @@ def main() -> None:
     config = opt.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
+    qmode = "int8" if opt.quantize else None
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                quantize=opt.quantize)
+                                quantize=qmode)
+    if opt.quantize == "int8-static":
+        import numpy as np
+
+        if opt.calib_image:
+            from pbe_tpu.data import transforms as T
+
+            img = T.load_image(opt.calib_image, (opt.H, opt.W))[None]
+            msk = T.load_mask(opt.calib_mask, (opt.H, opt.W))[None]
+            cref = T.load_reference(opt.calib_ref)[None]
+        else:
+            g = np.random.default_rng(0)
+            img = g.uniform(-1, 1, (1, opt.H, opt.W, 3)).astype(np.float32)
+            msk = np.ones((1, opt.H, opt.W, 1), np.float32)
+            msk[:, opt.H // 4: 3 * opt.H // 4,
+                opt.W // 4: 3 * opt.W // 4] = 0.0
+            r = pipeline.ref_size
+            cref = g.standard_normal((1, r, r, 3)).astype(np.float32)
+        pipeline.quant_scales = pipeline.calibrate_int8(img, msk, cref)
+        print(f"calibrated {len(pipeline.quant_scales)} static int8 op "
+              "scales", file=sys.stderr)
     if opt.data_parallel:
         pipeline = pipeline.shard()
 

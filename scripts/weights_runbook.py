@@ -84,6 +84,9 @@ def main() -> None:
     p.add_argument("--skip_metrics", action="store_true")
     p.add_argument("--skip_int8", action="store_true",
                    help="skip the int8-vs-fp quality A/B (step 3b/4b)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="add a third arm: calibrated static-scale int8 "
+                        "(--quantize int8-static, constant PTQ scales)")
     p.add_argument("--skip_frozen", action="store_true",
                    help="skip the frozen-program export+verify (step 2b)")
     opt = p.parse_args()
@@ -163,6 +166,8 @@ def main() -> None:
     # the A/B answers "is --quantize int8 safe to serve with?" the moment
     # real weights land: same pairs, same seeds, metrics side by side
     arms = [("fp", None)] + ([] if opt.skip_int8 else [("int8", "int8")])
+    if opt.int8_static and not opt.skip_int8:
+        arms.append(("int8static", "int8-static"))
     results_by_arm: dict[str, str] = {}
     for arm, quantize in arms:
         bench_dir = os.path.join(

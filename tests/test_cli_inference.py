@@ -67,3 +67,25 @@ def test_inference_cli_smoke(tmp_path, np_rng):
     assert arr.shape == (64, 64, 3)
     # blacked out, modulo the (always-stamped) invisible watermark
     assert arr.max() <= 16
+
+
+@pytest.mark.skipif(not os.path.isdir(EXAMPLES), reason="no example assets")
+def test_inference_cli_int8_static(tmp_path):
+    """--quantize int8-static: calibrate-on-input PTQ through the real CLI."""
+    outdir = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "inference.py"),
+         "--config", os.path.join(ROOT, "configs", "tiny.yaml"),
+         "--image_path", f"{EXAMPLES}/image/example_1.png",
+         "--mask_path", f"{EXAMPLES}/mask/example_1.png",
+         "--reference_path", f"{EXAMPLES}/reference/example_1.jpg",
+         "--outdir", str(outdir), "--ddim_steps", "2", "--n_iter", "1",
+         "--n_samples", "1", "--plms", "--H", "64", "--W", "64",
+         "--precision", "full", "--seed", "7",
+         "--quantize", "int8-static"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "calibrated" in proc.stdout
+    assert (outdir / "results" / "example_1_7.png").exists()

@@ -229,3 +229,135 @@ def test_server_int8_guards_and_content_invariance(eligible_pipeline_pair):
                 srv.submit(hot, msk, ref, seed=9)]
         batched = futs[0].result(300)
     np.testing.assert_array_equal(solo, batched)
+
+
+# -- calibrated static-scale mode (round 5) ---------------------------------
+
+
+def test_dot_general_int8_static_matches_calibrated_dynamic():
+    """Static scales calibrated on the same input reproduce the per-tensor
+    dynamic result (up to reciprocal-multiply rounding) with no runtime
+    amax in the traced program."""
+    g = np.random.default_rng(10)
+    x = jnp.asarray(g.standard_normal((1, 512, 256)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((256, 512)) * 0.05, jnp.float32)
+    with quant.calibration() as col:
+        out_fp = quant.dot_general_int8(x, w, _dn_dense(3))
+    # calibration executes the exact fp path
+    np.testing.assert_array_equal(
+        np.asarray(out_fp), np.asarray(jax.lax.dot_general(x, w,
+                                                           _dn_dense(3))))
+    recs = jax.tree_util.tree_map(np.asarray, col.records)
+    scales = quant.scales_from_records([recs])
+    assert len(scales) == 1 and len(scales[0][1]) == 512
+    with quant.quantized("int8", static=scales):
+        out_st = quant.dot_general_int8(x, w, _dn_dense(3))
+    with quant.quantized("int8", per_row=False):
+        out_dyn = quant.dot_general_int8(x, w, _dn_dense(3))
+    rel = float(jnp.linalg.norm(out_st - out_dyn)
+                / jnp.linalg.norm(out_dyn))
+    assert rel < 1e-3, rel
+    ref = jax.lax.dot_general(x, w, _dn_dense(3))
+    rel_fp = float(jnp.linalg.norm(out_st - ref) / jnp.linalg.norm(ref))
+    assert rel_fp < 0.02, rel_fp
+
+
+def test_conv_int8_static_accuracy_and_invariance():
+    g = np.random.default_rng(11)
+    x = jnp.asarray(g.standard_normal((2, 24, 24, 128)), jnp.float32)
+    k = jnp.asarray(g.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    with quant.calibration() as col:
+        _conv(x, k, quant.conv_general_dilated_int8)
+    scales = quant.scales_from_records(
+        [jax.tree_util.tree_map(np.asarray, col.records)])
+    with quant.quantized("int8", static=scales):
+        out = _conv(x, k, quant.conv_general_dilated_int8)
+    ref = _conv(x, k, jax.lax.conv_general_dilated)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    # static scales are input-independent -> trivially batch-invariant
+    with quant.quantized("int8", static=scales):
+        both = _conv(jnp.concatenate([x[:1], x[1:] * 50]), k,
+                     quant.conv_general_dilated_int8)
+        solo = _conv(x[:1], k, quant.conv_general_dilated_int8)
+    np.testing.assert_array_equal(np.asarray(solo), np.asarray(both[:1]))
+
+
+def test_static_scale_count_mismatch_raises():
+    g = np.random.default_rng(12)
+    x = jnp.asarray(g.standard_normal((1, 512, 256)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((256, 512)), jnp.float32)
+    with quant.calibration() as col:
+        quant.dot_general_int8(x, w, _dn_dense(3))
+    scales = quant.scales_from_records(
+        [jax.tree_util.tree_map(np.asarray, col.records)])
+    # two calibrated ops claimed, one traced -> whole-trace check fires
+    with pytest.raises(RuntimeError, match="static-scale mismatch"):
+        with quant.quantized("int8", static=scales + scales + scales[:1]):
+            quant.dot_general_int8(x, w, _dn_dense(3))
+    # wrong out-dim weight scale vector -> immediate trace-time error
+    bad = ((scales[0][0], scales[0][1][:17]),)
+    with pytest.raises(RuntimeError, match="misaligned"):
+        with quant.quantized("int8", static=bad):
+            quant.dot_general_int8(x, w, _dn_dense(3))
+
+
+def test_calibration_records_inside_jit():
+    g = np.random.default_rng(13)
+    xn = g.standard_normal((2, 24, 24, 128)).astype(np.float32)
+    kn = (g.standard_normal((3, 3, 128, 128)) * 0.05).astype(np.float32)
+
+    @jax.jit
+    def f(x, k):
+        with quant.calibration() as col:
+            y = _conv(x, k, quant.conv_general_dilated_int8)
+        return y, col.records
+
+    _, recs = f(jnp.asarray(xn), jnp.asarray(kn))
+    assert len(recs) == 1
+    act, wmax = recs[0]
+    np.testing.assert_allclose(float(act), float(np.abs(xn).max()),
+                               rtol=1e-6)
+    assert np.asarray(wmax).shape == (128,)
+
+
+def test_static_repeated_traces_under_one_context():
+    """PLMS warm-up traces the eps closure several times under one
+    quantized() context; the scale cursor must wrap per trace."""
+    g = np.random.default_rng(14)
+    x = jnp.asarray(g.standard_normal((1, 512, 256)), jnp.float32)
+    w = jnp.asarray(g.standard_normal((256, 512)) * 0.05, jnp.float32)
+    with quant.calibration() as col:
+        quant.dot_general_int8(x, w, _dn_dense(3))
+    scales = quant.scales_from_records(
+        [jax.tree_util.tree_map(np.asarray, col.records)])
+    with quant.quantized("int8", static=scales):
+        a = quant.dot_general_int8(x, w, _dn_dense(3))
+        b = quant.dot_general_int8(x, w, _dn_dense(3))  # second trace
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_int8_static_calibrated(eligible_pipeline_pair):
+    """End-to-end: calibrate on a representative edit input, serve with
+    constant-scale int8 — close to fp, deterministic, and guarded."""
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    fp, q, S = eligible_pipeline_pair
+    g = np.random.default_rng(15)
+    image = g.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)
+    mask = np.ones((1, S, S, 1), np.float32)
+    mask[:, 16:48, 16:48] = 0.0
+    ref = g.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    scales = q.calibrate_int8(image, mask, ref, n_t=3)
+    assert len(scales) > 0
+    st = EditPipeline(q.model, q.variables, quantize="int8",
+                      quant_scales=scales)
+    a = fp.edit_batch(image, mask, ref, steps=2, seed=7)
+    b = st.edit_batch(image, mask, ref, steps=2, seed=7)
+    assert b.shape == a.shape and np.isfinite(b).all()
+    assert not np.array_equal(a, b)  # int8 path engaged
+    assert float(np.abs(a - b).mean()) < 0.05, float(np.abs(a - b).mean())
+    c = st.edit_batch(image, mask, ref, steps=2, seed=7)
+    np.testing.assert_array_equal(b, c)
+    with pytest.raises(ValueError, match="quant_scales"):
+        EditPipeline(q.model, q.variables, quant_scales=scales)
