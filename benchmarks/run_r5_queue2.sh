@@ -26,3 +26,14 @@ echo "== q2 job4 int8-static-b2 rc=$? =="
 timeout 3000 python scripts/bench_int8_unet.py --batch 16 --lo 5 --hi 15 \
   > $B/int8_unet_static_b16_r5.jsonl 2> $B/int8_unet_static_b16_r5.log
 echo "== q2 job5 int8-static-b16 rc=$? =="
+
+# 6/7. end-to-end static-int8 sweep at the headline config (the batch-1
+#    2.3x regression is the question; calibration adds one extra compile)
+timeout 2400 python scripts/bench_sweep.py --steps 50 --samplers plms \
+  --quantize int8-static \
+  > $B/sweep_int8static_b1_r5.jsonl 2> $B/sweep_int8static_b1_r5.log
+echo "== q2 job6 static-sweep-b1 rc=$? =="
+timeout 2400 python scripts/bench_sweep.py --batch 8 --steps 50 \
+  --samplers plms --quantize int8-static \
+  > $B/sweep_int8static_b8_r5.jsonl 2> $B/sweep_int8static_b8_r5.log
+echo "== q2 job7 static-sweep-b8 rc=$? =="
