@@ -81,9 +81,13 @@ def export_edit_program(
     )
     from pbe_tpu.ops import quant
 
-    with quant.quantized(getattr(pipeline, "quantize", None)):
+    scales = getattr(pipeline, "quant_scales", None)
+    qkw = {"static": scales} if scales else {}
+    with quant.quantized(getattr(pipeline, "quantize", None), **qkw):
         # trace-time: an int8 pipeline freezes its w8a8 program, not the
-        # fp one (same context edit_batch uses)
+        # fp one (same context edit_batch uses); calibrated static scales
+        # serialize as constants in the StableHLO — the deployed artifact
+        # carries the PTQ grid with it
         exported = jexport.export(fn)(*avals)
     return bytes(exported.serialize())
 

@@ -43,8 +43,12 @@ def main() -> None:
                    default="autocast")
     p.add_argument("--skip_params", action="store_true",
                    help="write only the program (params ship separately)")
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="freeze the w8a8 program (ops/quant.py)")
+    p.add_argument("--quantize", choices=["int8", "int8-static"],
+                   default=None,
+                   help="freeze the w8a8 program (ops/quant.py); "
+                        "int8-static calibrates constant scales on a "
+                        "synthetic edit at the export geometry first "
+                        "(the PTQ grid ships inside the artifact)")
     p.add_argument("--data_parallel", action="store_true",
                    help="freeze a partitioned program: batch sharded over "
                         "every chip of the slice (requires the same device "
@@ -61,8 +65,21 @@ def main() -> None:
     config = opt.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "v1.yaml")
+    qmode = "int8" if opt.quantize else None
     pipeline, _ = load_pipeline(config, opt.ckpt or None, dtype=dtype,
-                                quantize=opt.quantize)
+                                quantize=qmode)
+    if opt.quantize == "int8-static":
+        import numpy as np
+
+        g = np.random.default_rng(0)
+        ci = g.uniform(-1, 1, (1, opt.H, opt.W, 3)).astype(np.float32)
+        cm = np.ones((1, opt.H, opt.W, 1), np.float32)
+        cm[:, opt.H // 4: 3 * opt.H // 4, opt.W // 4: 3 * opt.W // 4] = 0.0
+        r = pipeline.ref_size
+        cr = g.standard_normal((1, r, r, 3)).astype(np.float32)
+        pipeline.quant_scales = pipeline.calibrate_int8(ci, cm, cr)
+        print(f"calibrated {len(pipeline.quant_scales)} static int8 op "
+              "scales", file=sys.stderr)
     if opt.data_parallel:
         pipeline = pipeline.shard()
 
@@ -84,6 +101,7 @@ def main() -> None:
         "cfg": opt.scale != 1.0, "paste_back": opt.paste_back,
         "det_first_stage": opt.det_first_stage,
         "dtype": "float32" if opt.precision == "full" else "bfloat16",
+        "quantize": opt.quantize,
         "ref_size": pipeline.ref_size,
         "latent_downsample": pipeline.model.latent_downsample,
         "program_bytes": len(blob),

@@ -165,3 +165,34 @@ def test_export_sharded_program_runs_on_the_mesh(pipeline):
     # mesh-size mismatch must fail loudly, not silently replicate
     with pytest.raises(ValueError, match="divisible"):
         export_edit_program(sharded, batch=3, height=32, width=32, steps=2)
+
+
+def test_export_static_int8_bakes_constant_scales(eligible_pipeline_pair):
+    """A quant_scales pipeline freezes the calibrated-constant-scale
+    program: the reloaded artifact is bitwise-equal to the live static
+    pipeline (the PTQ grid ships inside the StableHLO)."""
+    from pbe_tpu.pipelines.inference import EditPipeline
+
+    fp, q, S = eligible_pipeline_pair
+    g = np.random.default_rng(6)
+    image = g.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)
+    mask = np.ones((1, S, S, 1), np.float32)
+    mask[:, 16:48, 16:48] = 0.0
+    ref = g.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    x_T = g.standard_normal((1, 16, 16, 4)).astype(np.float32)
+
+    scales = q.calibrate_int8(image, mask, ref, n_t=2)
+    st = EditPipeline(q.model, q.variables, quantize="int8",
+                      quant_scales=scales)
+    blob = export_edit_program(st, batch=1, height=S, width=S, steps=2,
+                               det_first_stage=True)
+    fn = load_edit_program(blob)
+    got = np.asarray(fn(st.variables, image, mask, ref, x_T,
+                        np.float32(5.0), jax.random.PRNGKey(9)))
+    want_st = st.edit_batch(image, mask, ref, steps=2, scale=5.0, seed=9,
+                            x_T=x_T, det_first_stage=True)
+    want_fp = fp.edit_batch(image, mask, ref, steps=2, scale=5.0, seed=9,
+                            x_T=x_T, det_first_stage=True)
+    np.testing.assert_array_equal(got, want_st)
+    assert not np.array_equal(got, want_fp), \
+        "exported program is the fp one — static context not applied"
