@@ -80,11 +80,18 @@ def run_open_loop(opt, server, image, mask, ref) -> None:
     submitted = 0
     rejected_at_submit = 0
     pending: list[tuple[float, object]] = []
+    # Latency must be stamped when the future RESOLVES, not when a drain
+    # loop later polls it (the r5 queue-1 runs recorded drain-loop reach
+    # time and inflated every latency toward the full offered window).
+    done_at: dict[int, float] = {}
     t0 = time.perf_counter()
     t_end = t0 + opt.duration_s
     while time.perf_counter() < t_end:
         try:
             f = server.submit(image, mask, ref, seed=submitted)
+            idx = len(pending)
+            f.add_done_callback(
+                lambda _f, i=idx: done_at.setdefault(i, time.perf_counter()))
             pending.append((time.perf_counter(), f))
         except ServerOverloaded:
             rejected_at_submit += 1
@@ -97,11 +104,11 @@ def run_open_loop(opt, server, image, mask, ref) -> None:
     latencies: list[float] = []
     expired = 0
     errors: list[str] = []
-    for t_sub, f in pending:
+    for i, (t_sub, f) in enumerate(pending):
         try:
             out = f.result()
             assert out.shape == (opt.H, opt.W, 3)
-            latencies.append(time.perf_counter() - t_sub)
+            latencies.append(done_at.get(i, time.perf_counter()) - t_sub)
         except Exception as e:
             name = type(e).__name__
             if name == "DeadlineExceeded":
