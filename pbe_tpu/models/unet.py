@@ -33,6 +33,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pbe_tpu.ops import conv as conv_ops
 from pbe_tpu.ops import quant
 from pbe_tpu.ops.attention import multi_head_attention, single_token_attention
 from pbe_tpu.ops.image import nearest_upsample_2x
@@ -63,6 +64,12 @@ def _conv(features: int, kernel: int, dtype: Any, name: str, zero_init: bool = F
     extra = {}
     if quant.is_active():  # trace-time w8a8 serving mode (ops/quant.py)
         extra["conv_general_dilated"] = quant.conv_general_dilated_int8
+    elif conv_ops.is_active():
+        # exact im2col formulation for the deep-level 3x3 convs (ds4/ds8
+        # spatial extents where XLA's native schedule is 29-61% of
+        # roofline — ops/conv.py, PERF.md §5/§9); other convs fall back
+        # to lax inside the override
+        extra["conv_general_dilated"] = conv_ops.conv_general_dilated_small
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),

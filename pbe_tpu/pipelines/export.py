@@ -79,13 +79,17 @@ def export_edit_program(
         _aval((), jnp.float32, rep),
         _aval((2,), jnp.uint32, rep),  # PRNGKey(0)'s layout
     )
+    from pbe_tpu.ops import conv as conv_ops
     from pbe_tpu.ops import quant
 
     scales = getattr(pipeline, "quant_scales", None)
     qkw = {"static": scales} if scales else {}
-    with quant.quantized(getattr(pipeline, "quantize", None), **qkw):
+    with quant.quantized(getattr(pipeline, "quantize", None), **qkw), \
+            conv_ops.small_spatial():
         # trace-time: an int8 pipeline freezes its w8a8 program, not the
-        # fp one (same context edit_batch uses); calibrated static scales
+        # fp one (same contexts edit_batch uses — incl. the exact
+        # small-spatial im2col conv rewrite, so the frozen program is the
+        # same program the live pipeline runs); calibrated static scales
         # serialize as constants in the StableHLO — the deployed artifact
         # carries the PTQ grid with it
         exported = jexport.export(fn)(*avals)

@@ -269,12 +269,16 @@ class EditPipeline:
                     for a in args
                 ]
             args = [jax.device_put(a, self._batch_sharding) for a in args]
+        from pbe_tpu.ops import conv as conv_ops
         from pbe_tpu.ops import quant
 
         qkw = {"static": self.quant_scales} if self.quant_scales else {}
-        with quant.quantized(self.quantize, **qkw):
-            # the context matters only while jit traces (first call per
-            # config); compiled executions are unaffected by it
+        with quant.quantized(self.quantize, **qkw), conv_ops.small_spatial():
+            # the contexts matter only while jit traces (first call per
+            # config); compiled executions are unaffected by them.
+            # small_spatial: exact im2col rewrite of the deep-level UNet
+            # convs (1.4-1.7x those convs on-chip, PERF.md §5/§9); int8
+            # mode overrides it for the convs it quantizes
             out = fn(
                 self.variables, *args, jnp.asarray(scale, jnp.float32), rng,
             )
